@@ -1,0 +1,89 @@
+"""Top-k BM25 retrieval — the query path (reference lifecycle C, SURVEY §3C).
+
+Two physical strategies, rank-identical by construction:
+
+- ``search_bm25`` (this module): the Catalyst-native path. Query texts
+  are tokenized with the index's TextConfig, de-duplicated (the
+  reference ignores query-side term frequency, src/bm25.jl:29), then
+  broadcast-joined against the long-form postings; the per-posting
+  ``impact`` column is pre-folded BM25, so scoring is a sum-aggregate
+  and top-k is a window — all whole-stage-codegen, no Python.
+- ``search_bm25_wand`` (operators/wand.py): block-max WAND over the
+  compressed posting blocks inside ``applyInPandas``, for the
+  at-scale path. Differential-tested against this one.
+
+Tie order is pinned to ascending docID (the reference's KnnResult scans
+in ascending docID and keeps the earlier doc on equal scores,
+src/bm25invfilesearch.jl:23,43; golden test/search.jl:36-38).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.udfs import exploded_tokens
+from ..plans.build import BM25Index
+
+
+def query_tokens(index: BM25Index, queries: DataFrame, *, query_col: str = "qtext",
+                 id_col: str = "query_id") -> DataFrame:
+    """(query_id, token) — distinct in-vocab query terms. OOV terms drop
+    at the postings join (token2id -> 0 -> skipped in the reference,
+    src/voc.jl:21, src/bow.jl:14-23)."""
+    return (
+        exploded_tokens(queries, index.cfg, doc_col=id_col, text_col=query_col)
+        .select(id_col, "token")
+        .distinct()
+    )
+
+
+def search_bm25(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    query_col: str = "qtext",
+    id_col: str = "query_id",
+    accept_min_ndocs: Optional[int] = None,
+    accept_max_ndocs: Optional[int] = None,
+) -> DataFrame:
+    """Returns (query_id, rank, doc_id, score) with rank 1..k by
+    descending BM25 (the reference stores negated scores so its
+    "smallest distance" == our largest score).
+
+    ``accept_min_ndocs``/``accept_max_ndocs`` express the reference's
+    ``accept_posting_list`` veto (src/bm25invfilesearch.jl:32-38) as a
+    pushed-down predicate on list length — e.g. skipping stop-wordish
+    very long lists at query time.
+    """
+    q = query_tokens(index, queries, query_col=query_col, id_col=id_col)
+
+    p = index.postings
+    if accept_min_ndocs is not None:
+        p = p.filter(F.col("ndocs") >= accept_min_ndocs)
+    if accept_max_ndocs is not None:
+        p = p.filter(F.col("ndocs") <= accept_max_ndocs)
+
+    # queries are the tiny side: broadcast them so the big postings
+    # relation is never shuffled — the join degenerates to a hash-probe
+    # per postings partition (the distributed select_posting_lists)
+    joined = p.join(F.broadcast(q), "token")
+    scored = joined.groupBy(id_col, "doc_id").agg(F.sum("impact").alias("score"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "doc_id", "score")
+    )
+
+
+def search_bm25_text(index: BM25Index, qtext: str, k: int = 10) -> DataFrame:
+    """One-off single-query convenience (reference: search entry,
+    src/bm25invfilesearch.jl:32-35)."""
+    spark = index.spark
+    q = spark.createDataFrame([(0, qtext)], "query_id long, qtext string")
+    return search_bm25(index, q, k).select("rank", "doc_id", "score")

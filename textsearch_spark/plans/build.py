@@ -1,0 +1,167 @@
+"""BM25 inverted-index build pipeline (reference lifecycle B, SURVEY §3B).
+
+docs -> tokenize UDF -> explode -> BOW groupBy -> vocabulary groupBy ->
+optional doc-freq pruning -> doclens / avgdl / N aggregates -> scoring
+table. Mirrors BM25InvertedFile fit+append semantics exactly
+(src/bm25invfile.jl:49-59, :118-154):
+
+- ``avgdl`` is the mean of **unfiltered** per-doc token counts
+  (src/bm25invfile.jl:55-56), while ``doclen`` used in scoring counts
+  only in-vocabulary tokens (src/bm25invfile.jl:141-154);
+- N is the corpus size at fit time, including docs that tokenize empty;
+- posting entries are (doc_id, tf) per token, docID-sorted on read.
+
+Scale design: the postings stay in long form ``(token, doc_id, tf,
+doclen, ndocs, impact)`` — Spark's idiom for sparse data — partitioned
+by token hash. The per-posting BM25 contribution (``impact``) is
+precomputed at build time, so the query path is a broadcast semi-join +
+sum-aggregate that never touches Python. The compressed block path
+(operators/postings.py) adds delta+VByte blocks with block-max metadata
+on top of the same long form.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BM25Params, FoldedBM25, TextConfig
+from ..functions.bm25 import tokenscore_expr
+from ..functions.udfs import exploded_tokens
+from ..operators.vocab import bow_from_tokens, filter_vocab, vocab_from_bow
+
+POSTING_COLS = ["token", "doc_id", "tf", "doclen", "ndocs", "impact"]
+
+
+@dataclass
+class BM25Index:
+    """Handle over the index tables. The index *is* a family of
+    DataFrames (parquet/Iceberg tables when persisted, see sources/io.py)
+    — the reference's JLD2 serialization (src/io.jl) has no analogue
+    because columnar tables are already the storage format."""
+
+    cfg: TextConfig
+    params: BM25Params
+    bm25: FoldedBM25
+    vocab: DataFrame      # (token, occs, ndocs) — post-filter vocabulary
+    postings: DataFrame   # (token, doc_id, tf, doclen, ndocs, impact)
+    doclens: DataFrame    # (doc_id, doclen) — in-vocab token count per doc
+    n_docs: int
+    avgdl: float
+    blocks: Optional[DataFrame] = None  # compressed block-max postings
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.vocab.sparkSession
+
+
+def build_bm25_index(
+    df: DataFrame,
+    cfg: TextConfig,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    multi: bool = False,
+    vocab_filter: Optional[str] = None,
+    params: BM25Params = BM25Params(),
+    cache: bool = True,
+) -> BM25Index:
+    """Fit + append in one distributed pipeline.
+
+    ``vocab_filter`` is a SQL predicate over (token, occs, ndocs), e.g.
+    ``"ndocs > 1 AND ndocs < 5"`` (the reference golden's pruning,
+    test/search.jl:31-33).
+    """
+    tokens = exploded_tokens(df, cfg, doc_col=doc_col, text_col=text_col, multi=multi)
+    bow = bow_from_tokens(tokens, doc_col=doc_col)
+    if doc_col != "doc_id":
+        bow = bow.withColumnRenamed(doc_col, "doc_id")
+    if cache:
+        bow = bow.cache()
+
+    # fit-time scalars: one small aggregate + one count.
+    # total token occurrences == sum of tf over the *unfiltered* BOW,
+    # so avgdl never needs a second tokenization pass.
+    n_docs = df.count()
+    total_tokens = bow.agg(F.sum("tf")).collect()[0][0] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    bm25 = params.fold(avgdl, n_docs)
+
+    vocab = vocab_from_bow(bow)
+    if vocab_filter:
+        vocab = filter_vocab(vocab, vocab_filter)
+    if cache:
+        vocab = vocab.cache()
+
+    # in-vocabulary BOW: broadcast-or-shuffle semi join on token; AQE
+    # picks broadcast when the pruned vocabulary is small
+    bow_f = bow.join(vocab.select("token", "ndocs"), "token")
+    doclens = bow_f.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+
+    postings = (
+        bow_f.join(doclens, "doc_id")
+        .withColumn(
+            "impact",
+            tokenscore_expr(
+                bm25,
+                F.col("ndocs").cast("double"),
+                F.col("doclen").cast("double"),
+                F.col("tf").cast("double"),
+            ),
+        )
+        .select(*POSTING_COLS)
+    )
+    if cache:
+        postings = postings.cache()
+
+    return BM25Index(
+        cfg=cfg, params=params, bm25=bm25, vocab=vocab,
+        postings=postings, doclens=doclens, n_docs=n_docs, avgdl=avgdl,
+    )
+
+
+def filter_lists(
+    index: BM25Index,
+    *,
+    list_min_length_for_checking: int = 96,
+    list_max_allowed_length: int = 1024,
+    doc_min_freq: int = 1,
+    doc_max_freq: int = 128,
+) -> BM25Index:
+    """Posting-list pruning (reference: filter_lists!,
+    src/bm25invfile.jl:77-116, defaults :79-83).
+
+    Lists shorter than ``list_min_length_for_checking`` are untouched.
+    Longer lists keep entries with tf in [doc_min_freq, doc_max_freq],
+    then the top ``list_max_allowed_length`` by tf (ties broken by
+    ascending docID — the reference's unstable sort leaves ties
+    unspecified; we pin them deterministically).
+
+    The vocabulary (and therefore ndocs/idf and each entry's impact)
+    is intentionally *not* recomputed — the reference prunes only the
+    adjacency lists and keeps fit-time statistics.
+
+    Expressed as a classic Spark top-k-per-group. The window partitions
+    by token; only lists that passed the length check reach it, and
+    their post-filter length is bounded, so the skewed giant lists are
+    exactly the ones that get cut.
+    """
+    from pyspark.sql.window import Window
+
+    p = index.postings
+    # list length == ndocs (one posting per (token, doc))
+    short = p.filter(F.col("ndocs") < list_min_length_for_checking)
+    long_f = (
+        p.filter(F.col("ndocs") >= list_min_length_for_checking)
+        .filter((F.col("tf") >= doc_min_freq) & (F.col("tf") <= doc_max_freq))
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    pruned = (
+        long_f.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= list_max_allowed_length)
+        .drop("__rn")
+    )
+    return replace(index, postings=short.unionByName(pruned), blocks=None)

@@ -1,0 +1,60 @@
+"""SparkSession helper tuned for this engine.
+
+Local defaults model a multi-executor cluster: AQE on (runtime skew
+splitting + coalescing), Arrow enabled for the vectorized UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def package_zip(path: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` shipping (the
+    north rule's deployment mode). Idempotent; returns the zip path."""
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    path = path or os.path.join(tempfile.gettempdir(), "textsearch_spark_pyfiles.zip")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    return path
+
+
+def get_spark(master: str | None = None, *, app_name: str = "textsearch_spark",
+              shuffle_partitions: int | None = None, extra_conf: dict | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # one shuffle partition per core locally; on a real cluster this
+        # is set to ~2-3x total cores and AQE coalesces the rest
+        n = master[len("local["):-1] if master.startswith("local[") else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    # ship the package to executor Python workers — same mechanism as
+    # spark-submit --py-files, so driving scripts work from any cwd
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
