@@ -1,0 +1,160 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {stage: sec, ...}, "sf": ...,
+   "throughput": {...}, "scaling": {...}}
+
+Stages:
+- build / blocks / query(naive|wand) over $SPARK_GRAFT_SF_DIR documents;
+- the north rule's two-cluster-size proxy: the same index-build and
+  query batch on the same deterministic synthetic source-code corpus at
+  local[N] and local[4N] (N = SPARK_GRAFT_CPUS/4), reporting throughput
+  at both and the scaling efficiency X_4N / (4 * X_N).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_SCALING=0 to skip the scaling runs,
+     SPARK_GRAFT_SYNTH_DOCS (default 60000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mk_queries(spark, texts, n_queries, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    qs = []
+    for i in range(n_queries):
+        words = rnd.choice(texts).split()
+        start = rnd.randrange(max(1, len(words) - 6))
+        qs.append((i, " ".join(words[start:start + rnd.randint(2, 5)])))
+    return spark.createDataFrame(qs, "query_id long, qtext string")
+
+
+def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
+    from pyspark.sql import functions as F
+
+    from textsearch_spark.config import TextConfig
+    from textsearch_spark.operators.postings import build_posting_blocks
+    from textsearch_spark.operators.search import search_bm25
+    from textsearch_spark.operators.wand import search_bm25_wand
+    from textsearch_spark.plans.build import build_bm25_index
+    from textsearch_spark.session import get_spark
+
+    spark = get_spark(f"local[{cpus}]", app_name="bench", shuffle_partitions=cpus)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+
+    t0 = time.time()
+    idx = build_bm25_index(docs, TextConfig(nlist=[1]))
+    idx.postings.count()
+    timings["build"] = time.time() - t0
+    meta["build_rows_per_sec"] = round(n_docs / timings["build"], 1)
+
+    t0 = time.time()
+    idx.blocks = build_posting_blocks(idx.postings, span=256).cache()
+    idx.blocks.count()
+    timings["blocks"] = time.time() - t0
+
+    texts = [r.text for r in docs.select("text").limit(500).collect()]
+    nq = 512
+    qdf = _mk_queries(spark, texts, nq).cache()
+    qdf.count()
+
+    t0 = time.time()
+    search_bm25(idx, qdf, 10).count()
+    timings["query_naive_512"] = time.time() - t0
+    meta["naive_qps"] = round(nq / timings["query_naive_512"], 1)
+
+    t0 = time.time()
+    search_bm25_wand(idx, qdf, 10).count()
+    timings["query_wand_512"] = time.time() - t0
+    meta["wand_qps"] = round(nq / timings["query_wand_512"], 1)
+    spark.stop()
+    return n_docs
+
+
+def _scaling_run(cpus: int, n_docs: int, n_queries: int):
+    """One parallelism level: synth corpus -> index build -> query batch.
+    Returns (build_sec, query_sec)."""
+    from textsearch_spark.config import TextConfig
+    from textsearch_spark.operators.search import search_bm25
+    from textsearch_spark.plans.build import build_bm25_index
+    from textsearch_spark.session import get_spark
+    from textsearch_spark.sources.corpus import synthetic_code_corpus, with_doc_ids
+
+    spark = get_spark(f"local[{cpus}]", app_name=f"bench-scaling-{cpus}",
+                      shuffle_partitions=max(cpus * 2, 32))
+    corpus = with_doc_ids(
+        synthetic_code_corpus(spark, n_docs, partitions=max(cpus * 2, 32))
+    ).cache()
+    corpus.count()  # materialize generation outside the timed build
+
+    t0 = time.time()
+    idx = build_bm25_index(corpus, TextConfig(nlist=[1]), text_col="content")
+    idx.postings.count()
+    build_sec = time.time() - t0
+
+    texts = [r.content for r in corpus.select("content").limit(300).collect()]
+    qdf = _mk_queries(spark, texts, n_queries).cache()
+    qdf.count()
+    t0 = time.time()
+    search_bm25(idx, qdf, 10).count()
+    query_sec = time.time() - t0
+    spark.stop()
+    return build_sec, query_sec
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    synth_docs = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "60000"))
+
+    timings: dict = {}
+    meta: dict = {}
+    _bench_sf(sf_dir, cpus, timings, meta)
+
+    scaling: dict = {}
+    if do_scaling:
+        n_small = max(cpus // 4, 1)
+        nq = 768
+        b_small, q_small = _scaling_run(n_small, synth_docs, nq)
+        b_big, q_big = _scaling_run(cpus, synth_docs, nq)
+        timings[f"synth_build_local{n_small}"] = b_small
+        timings[f"synth_build_local{cpus}"] = b_big
+        timings[f"synth_query_local{n_small}"] = q_small
+        timings[f"synth_query_local{cpus}"] = q_big
+        scaling = {
+            "n_docs": synth_docs,
+            "n_queries": nq,
+            "build_rows_per_sec": {f"local{n_small}": round(synth_docs / b_small, 1),
+                                   f"local{cpus}": round(synth_docs / b_big, 1)},
+            "query_qps": {f"local{n_small}": round(nq / q_small, 1),
+                          f"local{cpus}": round(nq / q_big, 1)},
+            "build_efficiency": round((synth_docs / b_big) / (4 * synth_docs / b_small), 3),
+            "query_efficiency": round((nq / q_big) / (4 * nq / q_small), 3),
+        }
+
+    out = {
+        "metric": "bm25_index_build_and_topk_query",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "throughput": meta,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

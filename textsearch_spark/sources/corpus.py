@@ -1,0 +1,106 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F2).
+
+Schema per BASELINE.json input_hint: (repo, path, commit, lang,
+content). Generated distributed via ``spark.range`` + an Arrow UDF; the
+per-row RNG is seeded by the row id, so the table is bit-identical at
+any parallelism/partitioning — which is what makes the N-vs-4N scaling
+runs and checkpoint fingerprints comparable.
+
+Skew: repo sizes and token frequencies are zipf-heavy on purpose —
+keywords like ``def``/``return``/``0`` appear in most docs so the
+salted/blocked posting build is actually exercised (FIXTURES.md F2
+skew requirement).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+LANGS = ["py", "jl", "c", "go", "md"]
+
+_KEYWORDS = {
+    "py": ["def", "return", "import", "class", "if", "else", "for", "in", "None", "self"],
+    "jl": ["function", "end", "return", "using", "struct", "for", "if", "else", "begin"],
+    "c": ["int", "return", "void", "static", "struct", "for", "if", "else", "char"],
+    "go": ["func", "return", "package", "import", "type", "for", "if", "else", "var"],
+    "md": ["the", "a", "of", "to", "and", "in", "is", "for", "with", "this"],
+}
+
+_IDENT_PARTS = [
+    "get", "set", "run", "read", "write", "parse", "merge", "split", "index",
+    "token", "block", "query", "score", "count", "batch", "shard", "hash",
+    "node", "list", "tree", "map", "util", "core", "data", "file", "path",
+]
+
+
+def _gen_content(doc_id: int) -> tuple:
+    rng = np.random.default_rng(doc_id + 1_000_003)
+    lang = LANGS[int(rng.integers(0, len(LANGS)))]
+    kw = _KEYWORDS[lang]
+    n_lines = int(rng.integers(5, 40))
+    lines = []
+    for _ in range(n_lines):
+        n_tok = int(rng.integers(3, 10))
+        toks = []
+        for _ in range(n_tok):
+            r = rng.random()
+            if r < 0.45:  # heavy-tailed keyword mass -> >10% doc frequency
+                toks.append(kw[min(int(rng.zipf(1.6)) - 1, len(kw) - 1)])
+            elif r < 0.80:
+                a, b = rng.integers(0, len(_IDENT_PARTS), 2)
+                toks.append(f"{_IDENT_PARTS[a]}_{_IDENT_PARTS[b]}")
+            elif r < 0.90:
+                toks.append(str(int(rng.integers(0, 10000))))
+            elif r < 0.95:
+                toks.append(f"v{rng.integers(0,9)}.{rng.integers(0,99)}")
+            else:
+                toks.append(f"https://example.org/{_IDENT_PARTS[int(rng.integers(0, len(_IDENT_PARTS)))]}")
+        lines.append(" ".join(toks))
+    content = "\n".join(lines)
+    # zipf-distributed repo sizes
+    org = int(rng.zipf(1.3)) % 50
+    proj = int(rng.integers(0, 8))
+    repo = f"org{org}/proj{proj}"
+    path = f"src/module_{doc_id % 997}.{lang}"
+    commit = hashlib.sha1(f"{repo}/{path}#{doc_id}".encode()).hexdigest()
+    return repo, path, commit, lang, content
+
+
+def synthetic_code_corpus(spark: SparkSession, n_docs: int, *, partitions: int | None = None) -> DataFrame:
+    """(repo, path, commit, lang, content) — deterministic at any
+    parallelism."""
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_gen_content(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    base = spark.range(0, n_docs, numPartitions=partitions)
+    return base.mapInPandas(gen, "repo string, path string, commit string, lang string, content string")
+
+
+def with_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit")) -> DataFrame:
+    """Stable dense 1-based doc_id by (repo, path, commit) — FIXTURES.md
+    F2 — without a single-partition global window: sort, then compute
+    per-partition offsets from partition counts and add the local
+    row_number (the distributed zipWithIndex pattern in DataFrame ops).
+    """
+    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(*order_cols)
+    d = d.withColumn("__pid", F.spark_partition_id())
+    counts = d.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(w), F.lit(0))).drop("__cnt")
+    local = Window.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn("doc_id", F.row_number().over(local) + F.col("__off"))
+        .drop("__pid", "__off")
+    )

@@ -1,0 +1,95 @@
+"""Index persistence: the index *is* a family of parquet tables.
+
+The reference serializes to JLD2 with a static-adjacency freeze
+(src/io.jl:6-35); immutable columnar tables make that conversion a
+no-op here. Layout under ``<path>/``:
+
+    meta.json          — TextConfig, folded BM25 constants, N, avgdl
+    vocab/             — (token, occs, ndocs)
+    postings/          — (token, doc_id, tf, doclen, ndocs, impact),
+                         repartitioned + sorted by token so a query's
+                         terms prune to few files (min/max parquet
+                         stats play the posting-fetch role of
+                         select_posting_lists)
+    doclens/           — (doc_id, doclen)
+    blocks/            — compressed block-max postings (optional)
+
+Swap ``.parquet(...)`` for ``writeTo(...).using("iceberg")`` on a
+cluster with an Iceberg catalog — the layout and sort orders carry over
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BM25Params, FoldedBM25, TextConfig
+from ..plans.build import BM25Index
+
+META = "meta.json"
+
+
+def save_index(index: BM25Index, path: str, *, postings_partitions: int | None = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "textconfig": json.loads(index.cfg.to_json()),
+        "bm25": json.loads(index.bm25.to_json()),
+        "params": {"k1": index.params.k1, "b": index.params.b, "delta": index.params.delta},
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+    }
+    with open(os.path.join(path, META), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+    index.vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+    p = index.postings
+    if postings_partitions:
+        p = p.repartition(postings_partitions, "token").sortWithinPartitions("token", "doc_id")
+    index_dir = os.path.join(path, "postings")
+    p.write.mode("overwrite").parquet(index_dir)
+    index.doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    if index.blocks is not None:
+        (
+            index.blocks.repartition("token")
+            .sortWithinPartitions("token", "block_id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "blocks"))
+        )
+
+
+def load_index(spark: SparkSession, path: str) -> BM25Index:
+    # drop any stale cached file listings from a previous load of the
+    # same path (tables may have been overwritten by a rebuild)
+    for sub in ("vocab", "postings", "doclens", "blocks"):
+        p = os.path.join(path, sub)
+        if os.path.isdir(p):
+            spark.catalog.refreshByPath(p)
+    with open(os.path.join(path, META)) as f:
+        meta = json.load(f)
+    cfg = TextConfig.from_json(json.dumps(meta["textconfig"]))
+    bm25 = FoldedBM25.from_json(json.dumps(meta["bm25"]))
+    params = BM25Params(**meta["params"])
+    blocks_path = os.path.join(path, "blocks")
+    blocks = spark.read.parquet(blocks_path) if os.path.isdir(blocks_path) else None
+    return BM25Index(
+        cfg=cfg,
+        params=params,
+        bm25=bm25,
+        vocab=spark.read.parquet(os.path.join(path, "vocab")),
+        postings=spark.read.parquet(os.path.join(path, "postings")),
+        doclens=spark.read.parquet(os.path.join(path, "doclens")),
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        blocks=blocks,
+    )
+
+
+def content_sha_column(text_col: str = "text") -> F.Column:
+    """Per-row sha256 of the document body — the input_hint invariant
+    column, enforced against the source table by
+    plans/checkpoint.verify_content_integrity."""
+    return F.sha2(F.col(text_col), 256)
