@@ -37,6 +37,9 @@ QUERY_SET = [
 ]
 TOP_K = 10
 
+# typo-lookup fixture for the approx-vocabulary operator
+APPROX_QUERY_TOKENS = ["table", "tabel", "shufle", "custmer", "zzzzzz"]
+
 _INDEX_CACHE: dict = {}
 
 
@@ -245,6 +248,97 @@ def q_content_sha(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", content_sha_column("text").alias("content_sha"))
 
 
+# ---------------------------------------------- training-pipeline operators
+
+def q_dedup_exact(spark, sf_dir):
+    from textsearch_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_group", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from textsearch_spark.operators.dedup import minhash_signatures, word_shingles
+
+    sh = word_shingles(_docs(spark, sf_dir), 3)
+    return minhash_signatures(sh, n_hashes=8).select(
+        "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from textsearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    res = ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.18)
+    return res.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard4"))
+
+
+def q_simhash(spark, sf_dir):
+    from textsearch_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    from textsearch_spark.operators.simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = cosine_topk(emb, list(range(20)), k=5)
+    return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
+
+
+def q_embedding_lsh_buckets(spark, sf_dir):
+    from textsearch_spark.operators.simsearch import with_lsh_bucket
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return with_lsh_bucket(emb, n_planes=8, dim=64).select("vec_id", "bucket")
+
+
+def q_lang_id(spark, sf_dir):
+    from textsearch_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from textsearch_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    from textsearch_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from textsearch_spark.operators.textstats import fingerprint_winnow
+
+    return fingerprint_winnow(_docs(spark, sf_dir), k=4, window=5)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from textsearch_spark.operators.multimodal import as_media_column, extract_media_meta
+
+    media = as_media_column(_docs(spark, sf_dir))
+    return extract_media_meta(media, deterministic_fake=True).select(
+        "doc_id", "n_bytes", "content_sha", "media_type", "width", "height", "n_frames"
+    )
+
+
+def q_approx_vocab(spark, sf_dir):
+    from textsearch_spark.operators.approxvoc import approx_lookup
+    from textsearch_spark.operators.vocab import build_vocab
+
+    voc = build_vocab(_docs(spark, sf_dir), _cfg())
+    qs = spark.createDataFrame(
+        [(t,) for t in APPROX_QUERY_TOKENS], "qtoken string"
+    )
+    return approx_lookup(voc, qs).select("qtoken", "match_token", F.round("dist", 4).alias("dist4"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_unigrams": q_vocab,
@@ -263,6 +357,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qgrams3": q_qgrams3,
         "encoded_corpus": q_encoded_corpus,
         "content_sha": q_content_sha,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprint_winnow": q_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "approx_vocab": q_approx_vocab,
     }
 
 
@@ -406,4 +512,221 @@ SELECT p.doc_id, p.pos::BIGINT AS pos, i.term_id FROM pos p JOIN ids i USING (to
 """,
         "content_sha": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
     }
+    sqls.update(_pipeline_oracles())
     return sqls
+
+
+def _shingle_sql(k: int) -> str:
+    """Distinct word k-gram shingles per doc (whitespace split)."""
+    leads = ["token"] + [
+        f"lead(token, {i}) OVER (PARTITION BY doc_id ORDER BY pos)" for i in range(1, k)
+    ]
+    concat = " || ' ' || ".join(leads)
+    last = f"lead(token, {k-1}) OVER (PARTITION BY doc_id ORDER BY pos)"
+    return f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, {concat} AS shingle, {last} AS lst FROM ({_POS})
+) WHERE lst IS NOT NULL
+"""
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from textsearch_spark.operators.simsearch import _hyperplane_expr
+    from textsearch_spark.operators.textstats import LANG_PROFILES
+
+    def in_list(words):
+        return ", ".join(f"'{w}'" for w in words)
+
+    langs = sorted(LANG_PROFILES)
+    ratio_cols = ",\n   ".join(
+        f"avg(CASE WHEN token IN ({in_list(LANG_PROFILES[l])}) THEN 1.0 ELSE 0.0 END) AS r_{l}"
+        for l in langs
+    )
+    best = "greatest(" + ", ".join(f"r_{l}" for l in langs) + ")"
+    pred = f"CASE WHEN {best} <= 0.0 THEN 'und' "
+    for l in langs:
+        pred += f"WHEN r_{l} = {best} THEN '{l}' "
+    pred += "END"
+
+    # simhash bit expressions (16 bits from md5 nibbles)
+    bits = 16
+    bit_sums = []
+    for k in range(bits):
+        nib = f"(strpos('0123456789abcdef', substr(hh, {1 + k // 4}, 1)) - 1)"
+        bit = f"(({nib} >> {3 - (k % 4)}) & 1)"
+        bit_sums.append(
+            f"sum(CASE WHEN {bit} = 1 THEN tf ELSE -tf END) AS b{k}"
+        )
+    sim_expr = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN {1 << (bits - 1 - k)} ELSE 0 END)" for k in range(bits)
+    )
+
+    planes = _hyperplane_expr(8, 64)
+    plane_vals = ", ".join(
+        f"({p}, {d + 1}, {planes[p][d]!r})" for p in range(8) for d in range(64)
+    )
+
+    sw_en = in_list(LANG_PROFILES["en"])
+
+    return {
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents),
+g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hh) AS dup_group,
+             count(*) OVER (PARTITION BY hh) AS gs FROM h)
+SELECT doc_id, dup_group, gs::BIGINT AS group_size FROM g WHERE gs > 1
+""",
+        "minhash_signatures": f"""
+WITH sh AS ({_shingle_sql(3)}),
+seeds AS (SELECT unnest(generate_series(0, 7))::BIGINT AS seed)
+SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+""",
+        "ngram_jaccard_pairs": f"""
+WITH sh AS ({_shingle_sql(3)}),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+  FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(jac, 4) AS jaccard4 FROM j WHERE jac >= 0.18
+""",
+        "simhash": f"""
+WITH bow AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM ({_TOK}) GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, md5(token) AS hh FROM bow),
+bits AS (SELECT doc_id, {', '.join(bit_sums)} FROM h GROUP BY doc_id)
+SELECT doc_id, ({sim_expr})::BIGINT AS simhash FROM bits
+""",
+        "embedding_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos4 FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
+        "embedding_lsh_buckets": f"""
+WITH planes(p, d, val) AS (SELECT * FROM (VALUES {plane_vals})),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             unnest(embedding)::DOUBLE AS x FROM embeddings),
+dots AS (SELECT vec_id, p, sum(x * val) AS dot FROM e JOIN planes USING (d) GROUP BY 1, 2),
+bits AS (SELECT vec_id, p, CASE WHEN dot >= 0 THEN '1' ELSE '0' END AS b FROM dots)
+SELECT vec_id, string_agg(b, '' ORDER BY p) AS bucket FROM bits GROUP BY vec_id
+""",
+        "lang_id": f"""
+WITH r AS (SELECT doc_id,
+   {ratio_cols}
+ FROM ({_TOK}) GROUP BY doc_id)
+SELECT doc_id, {pred} AS lang_pred, round({best}, 4) AS hit_ratio FROM r
+""",
+        "quality_score": f"""
+WITH agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_words,
+         avg(length(token)) AS mwl,
+         avg(CASE WHEN token IN ({sw_en}) THEN 1.0 ELSE 0.0 END) AS swr,
+         count(DISTINCT token)::DOUBLE / count(*) AS ttr
+  FROM ({_TOK}) GROUP BY doc_id
+)
+SELECT doc_id, n_words, mean_word_len, stopword_ratio, ttr,
+       least(n_words / 100.0, 1.0) * 0.3 + least(mean_word_len / 8.0, 1.0) * 0.2
+             + least(stopword_ratio * 5.0, 1.0) * 0.2 + ttr * 0.3 AS quality
+FROM (
+  SELECT doc_id, n_words, round(mwl, 4) AS mean_word_len,
+         round(swr, 4) AS stopword_ratio, round(ttr, 4) AS ttr
+  FROM agg
+)
+""",
+        "token_counts": f"""
+SELECT t.doc_id, t.ws_tokens, t.subword_tokens, length(d.text)::BIGINT AS n_chars
+FROM (
+  SELECT doc_id, count(*)::BIGINT AS ws_tokens,
+         sum(ceil(length(token) / 4.0))::BIGINT AS subword_tokens
+  FROM ({_TOK}) GROUP BY doc_id
+) t JOIN documents d USING (doc_id)
+""",
+        "fingerprint_winnow": f"""
+WITH sh AS (
+  SELECT doc_id, pos, md5(shingle) AS h FROM (
+    SELECT doc_id, pos,
+           token || ' ' || lead(token) OVER w || ' ' || lead(token, 2) OVER w
+                 || ' ' || lead(token, 3) OVER w AS shingle,
+           lead(token, 3) OVER w AS lst
+    FROM ({_POS})
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE lst IS NOT NULL
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fingerprint
+FROM sh
+""",
+        "multimodal_meta": """
+SELECT doc_id,
+       length(text)::BIGINT AS n_bytes,
+       sha256(text) AS content_sha,
+       'image/fake' AS media_type,
+       (64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192)::INT AS width,
+       (64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192)::INT AS height,
+       (1 + ('0x' || substr(sha256(text), 5, 2))::INT % 8)::INT AS n_frames
+FROM documents
+""",
+        "approx_vocab": _approx_vocab_sql(),
+    }
+
+
+def _approx_vocab_sql() -> str:
+    qvals = ", ".join(f"('{t}')" for t in APPROX_QUERY_TOKENS)
+    return f"""
+WITH voc AS ({_VOC}),
+vg AS (
+  SELECT DISTINCT token AS vtoken, substr(' ' || token || ' ', i, 3) AS gram
+  FROM (SELECT token, unnest(generate_series(1, length(token))) AS i FROM voc)
+),
+keep AS (
+  SELECT gram FROM (SELECT gram, count(*) AS gdf FROM vg GROUP BY gram)
+  WHERE gdf >= 1 AND gdf <= 0.4 * (SELECT count(*) FROM voc)
+),
+vg2 AS (SELECT * FROM vg JOIN keep USING (gram)),
+vsz AS (SELECT vtoken, count(*) AS vsz FROM vg2 GROUP BY vtoken),
+q(qtoken) AS (SELECT * FROM (VALUES {qvals})),
+qg AS (
+  SELECT DISTINCT qtoken, substr(' ' || qtoken || ' ', i, 3) AS gram
+  FROM (SELECT qtoken, unnest(generate_series(1, length(qtoken))) AS i FROM q)
+  WHERE length(qtoken) > 0
+),
+qg2 AS (SELECT * FROM qg JOIN keep USING (gram)),
+qsz AS (SELECT qtoken, count(*) AS qsz FROM qg2 GROUP BY qtoken),
+dist AS (
+  SELECT qtoken, vtoken,
+         1.0 - count(*)::DOUBLE / (any_value(qsz) + any_value(vsz) - count(*)) AS dist
+  FROM qg2 JOIN vg2 USING (gram) JOIN qsz USING (qtoken) JOIN vsz USING (vtoken)
+  GROUP BY qtoken, vtoken
+),
+best AS (
+  SELECT qtoken, vtoken, dist,
+         row_number() OVER (PARTITION BY qtoken ORDER BY dist ASC, vtoken ASC) AS rn
+  FROM dist
+),
+exact AS (
+  SELECT q.qtoken, v.token AS match_token, 0.0 AS dist4
+  FROM q JOIN voc v ON q.qtoken = v.token
+)
+SELECT * FROM exact
+UNION ALL
+SELECT b.qtoken, b.vtoken AS match_token, round(b.dist, 4) AS dist4
+FROM best b
+WHERE b.rn = 1 AND b.dist <= 0.7
+  AND b.qtoken NOT IN (SELECT token FROM voc)
+"""

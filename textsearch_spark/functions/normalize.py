@@ -58,13 +58,46 @@ def isemoji(c: str) -> bool:
 # P* (src/tokenize.jl:227 builds ispunct2 by adding EXTRA_PUNCT symbols).
 EXTRA_PUNCT = frozenset("~+^$|<>")
 
+_PUNCT_CACHE: dict = {}
+_PUNCT2_CACHE: dict = {}
+
 
 def ispunct(c: str) -> bool:
-    return unicodedata.category(c).startswith("P")
+    v = _PUNCT_CACHE.get(c)
+    if v is None:
+        v = _PUNCT_CACHE[c] = unicodedata.category(c).startswith("P")
+    return v
 
 
 def ispunct2(c: str) -> bool:
-    return ispunct(c) or c in EXTRA_PUNCT
+    v = _PUNCT2_CACHE.get(c)
+    if v is None:
+        v = _PUNCT2_CACHE[c] = ispunct(c) or c in EXTRA_PUNCT
+    return v
+
+
+# ASCII fast-path tables. For pure-ASCII text: NFKD is the identity,
+# lower() == casefold(), there are no combining marks and no emoji —
+# so normalization reduces to a str.translate.
+ASCII_PUNCT2 = frozenset(c for c in map(chr, range(128)) if ispunct2(c))
+
+def _ascii_tables():
+    fold = {}
+    fold_punct = {}
+    for i in range(128):
+        c = chr(i)
+        if c in "\t\n\x0b\x0c\r" or unicodedata.category(c) == "Zs":
+            fold[i] = " "
+            fold_punct[i] = " "
+        elif unicodedata.category(c) == "Cc":
+            fold[i] = None
+            fold_punct[i] = None
+        else:
+            fold_punct[i] = " " if (ispunct(c) and c not in "@#_") else None
+    return fold, {**fold, **{k: v for k, v in fold_punct.items() if v == " "}}
+
+_ASCII_FOLD, _ASCII_FOLD_DELPUNC = _ascii_tables()
+_RE_DUPRUN = re.compile(r"(.)\1{2,}", re.DOTALL)
 
 
 def _preprocess(cfg, text: str) -> str:
@@ -103,8 +136,31 @@ def _unicode_normalize(text: str, casefold: bool, stripmark: bool) -> str:
 def normalize_text(cfg, text: str, limits: bool = True) -> str:
     """Normalize ``text`` per ``cfg``; returns the normalized char
     stream (with boundary blanks when ``limits``), mirroring
-    src/normalize.jl:50-66 char-for-char."""
+    src/normalize.jl:50-66 char-for-char.
+
+    Pure-ASCII inputs take a vectorized fast path (str.translate +
+    regex run-collapse) that is behavior-identical to the char loop;
+    tests cross-check the two paths.
+    """
     text = _preprocess(cfg, text)
+    if text.isascii():
+        s = text.translate(_ASCII_FOLD_DELPUNC if cfg.del_punc else _ASCII_FOLD)
+        if limits:
+            s = BLANK + s
+        if cfg.del_dup:
+            # run-collapse including the LEADING boundary blank (the
+            # char-loop rep counter sees it) but not the trailing one
+            # (the reference appends it unconditionally after the loop)
+            s = _RE_DUPRUN.sub(r"\1\1", s)
+        if limits:
+            s = s + BLANK
+        return s
+    return _normalize_slow(cfg, text, limits)
+
+
+def _normalize_slow(cfg, text: str, limits: bool = True) -> str:
+    """The char-by-char normalization loop (any input; the ASCII fast
+    path above is differential-tested against this)."""
     out = []
     if limits:
         out.append(BLANK)

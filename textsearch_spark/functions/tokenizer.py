@@ -16,8 +16,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Union
 
-from ..config import Skipgram, TextConfig
-from .normalize import BLANK, isemoji, ispunct2, normalize_text
+from ..config import Skipgram, TextConfig, TokenTransformation
+from .normalize import ASCII_PUNCT2, BLANK, isemoji, ispunct2, normalize_text
 
 _META_GLUE = ("#", "@", "_")
 
@@ -59,9 +59,35 @@ def unigrams(normtext: str, tokens: List[str], unigram_out: List[str], tt) -> No
     Unigrams are appended unmarked to both ``tokens`` and
     ``unigram_out`` (post-transform, mirroring src/tokenize.jl:271-273).
     """
+    mfirst = len(tokens)
+
+    # fast path: the automaton is the identity on blank-delimited
+    # segments containing no punctuation/emoji — emit those directly and
+    # run the char automaton only on the segments that need it. Segment
+    # boundaries are blanks, and the automaton state resets at a blank
+    # with p=BLANK, so per-segment processing is exactly equivalent.
+    transform = tt.transform_unigram
+    identity_tt = type(tt).transform_unigram is TokenTransformation.transform_unigram \
+        and isinstance(tt, TokenTransformation)
+    segments = normtext.split(BLANK)
+    for seg in segments:
+        if not seg:
+            continue
+        if seg.isascii() and not (set(seg) & ASCII_PUNCT2):
+            if identity_tt:
+                tokens.append(seg)
+            else:
+                _push_transformed(tokens, transform(seg))
+        else:
+            _unigrams_automaton(BLANK + seg, tokens, tt)
+    unigram_out.extend(tokens[mfirst:])
+
+
+def _unigrams_automaton(normtext: str, tokens: List[str], tt) -> None:
+    """The exact char automaton, applied to one BLANK-prefixed segment
+    (or a whole normalized text)."""
     io: List[str] = []
     iosize = 0  # UTF-8 byte size of io, mirrors buff.io.size
-    mfirst = len(tokens)
 
     def flush():
         nonlocal io, iosize
@@ -106,7 +132,6 @@ def unigrams(normtext: str, tokens: List[str], unigram_out: List[str], tt) -> No
             push(c)
 
     flush()
-    unigram_out.extend(tokens[mfirst:])
 
 
 def nwords(q: int, unigrams_list: Sequence[str], tokens: List[str], tt, mark: bool) -> None:

@@ -1,0 +1,85 @@
+"""Typo-tolerant vocabulary lookup via character 3-gram Jaccard.
+
+Mirrors the reference's QgramsLookup (src/approxvoc.jl:25-57): vocabulary
+tokens are indexed by their binary 3-gram sets (TextConfig(qlist=[3]),
+boundary blanks included); an unknown query token resolves to the
+nearest vocabulary token under Jaccard distance, accepted when
+dist <= maxdist (default 0.7). Popular q-grams are pruned on the index
+side (doc_max_ratio, src/approxvoc.jl:31) — the same stop-term guard the
+BM25 side uses.
+
+Expressed as a set-similarity join: explode both sides' q-gram sets,
+count shared grams per (query, token), Jaccard from set sizes. Ties
+break by (distance, token) for determinism (the reference's KnnResult(1)
+tie order is unspecified).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import TextConfig
+from ..functions.udfs import exploded_tokens
+
+_QCFG = TextConfig(qlist=[3])
+
+
+def _qgram_sets(tokens_df: DataFrame, key: str) -> DataFrame:
+    """(key, gram) distinct q-gram rows for each token string."""
+    g = exploded_tokens(tokens_df, _QCFG, doc_col=key, text_col="token")
+    return g.withColumnRenamed("token", "gram").distinct()
+
+
+def approx_lookup(
+    vocab: DataFrame,
+    query_tokens: DataFrame,
+    *,
+    maxdist: float = 0.7,
+    doc_min_freq: int = 1,
+    doc_max_ratio: float = 0.4,
+) -> DataFrame:
+    """vocab (token, occs, ndocs) × query_tokens (qtoken) ->
+    (qtoken, match_token, dist); exact hits resolve at distance 0,
+    misses with best dist > maxdist are dropped (id 0 in the reference).
+    """
+    vtok = vocab.select("token")
+    vgrams = _qgram_sets(vtok.withColumnRenamed("token", "vtoken").withColumn(
+        "token", F.col("vtoken")).select("vtoken", "token"), key="vtoken")
+
+    # prune q-grams present in too many vocabulary tokens (stop-grams)
+    n_tokens = vtok.count()
+    gram_df = vgrams.groupBy("gram").agg(F.count("*").alias("gdf"))
+    keep = gram_df.filter(
+        (F.col("gdf") >= doc_min_freq) & (F.col("gdf") <= doc_max_ratio * n_tokens)
+    ).select("gram")
+    vgrams = vgrams.join(keep, "gram")
+    vsizes = vgrams.groupBy("vtoken").agg(F.count("*").alias("vsz"))
+
+    qtok = query_tokens.select("qtoken").distinct()
+    qgrams = _qgram_sets(qtok.withColumn("token", F.col("qtoken")).select("qtoken", "token"),
+                         key="qtoken").join(keep, "gram")
+    qsizes = qgrams.groupBy("qtoken").agg(F.count("*").alias("qsz"))
+
+    inter = (
+        qgrams.join(vgrams, "gram")
+        .groupBy("qtoken", "vtoken")
+        .agg(F.count("*").alias("inter"))
+    )
+    dist = (
+        inter.join(qsizes, "qtoken").join(vsizes, "vtoken")
+        .withColumn("dist", 1.0 - F.col("inter") / (F.col("qsz") + F.col("vsz") - F.col("inter")))
+    )
+    w = Window.partitionBy("qtoken").orderBy(F.asc("dist"), F.asc("vtoken"))
+    best = dist.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+    exact = qtok.join(vtok, qtok.qtoken == vtok.token, "inner").select(
+        "qtoken", F.col("token").alias("match_token"), F.lit(0.0).alias("dist")
+    )
+    fuzzy = (
+        best.join(vtok, best.qtoken == vtok.token, "left_anti")
+        .filter(F.col("dist") <= maxdist)
+        .select("qtoken", F.col("vtoken").alias("match_token"), F.round("dist", 4).alias("dist"))
+    )
+    return exact.unionByName(fuzzy)

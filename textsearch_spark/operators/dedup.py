@@ -1,0 +1,159 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's retrieval scope: exact, MinHash+LSH, SimHash and
+n-gram-Jaccard near-dup detection over a document table. All hashes are
+derived from md5 hex strings so results are engine-portable (the DuckDB
+oracles compute the identical pipelines) and deterministic across
+cluster sizes.
+
+Scale notes:
+- exact dedup is one groupBy on the content hash — partial agg collapses
+  dup clusters map-side;
+- MinHash signatures are per-(doc, seed) min-aggregations over exploded
+  shingles: shuffle keys are (doc_id, seed), never a hot token;
+- LSH banding joins docs on (band_id, band_key) — bucket sizes are the
+  only skew surface, bounded by band width;
+- candidate pairs are re-verified with exact shingle Jaccard, so LSH
+  parameters only affect recall, never precision of the emitted pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_duplicates(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, dup_group, group_size) for docs whose exact content
+    appears more than once; dup_group = min doc_id of the cluster."""
+    h = df.select(F.col(doc_col), F.sha2(F.col(text_col), 256).alias("__h"))
+    w = Window.partitionBy("__h")
+    return (
+        h.withColumn("dup_group", F.min(doc_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select(doc_col, "dup_group", "group_size")
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 3, *, doc_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+    Tokenization is whitespace splitting (dedup operates on raw
+    training text, not the retrieval tokenizer)."""
+    toks = df.select(
+        F.col(doc_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy(doc_col).orderBy("pos")
+    cols = [F.col("w")] + [F.lead("w", i).over(wdoc) for i in range(1, n)]
+    sh = toks.select(doc_col, F.concat_ws(" ", *cols).alias("shingle"),
+                     F.lead("w", n - 1).over(wdoc).alias("__last"))
+    return sh.filter(F.col("__last").isNotNull()).select(doc_col, "shingle").distinct()
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = 16, *,
+                       doc_col: str = "doc_id") -> DataFrame:
+    """(doc_id, seed, minhash) — minhash per seed is the lexicographic
+    min of md5(seed || '|' || shingle) hex strings (engine-portable)."""
+    seeds = shingles.sparkSession.range(0, n_hashes).withColumnRenamed("id", "seed")
+    crossed = shingles.crossJoin(F.broadcast(seeds))
+    hashed = crossed.select(
+        doc_col, "seed",
+        F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy(doc_col, "seed").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 4, *,
+                        doc_col: str = "doc_id") -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing at least one LSH band.
+    band_key = md5 of the band's concatenated minhashes."""
+    n_hashes = signatures.agg(F.max("seed")).collect()[0][0] + 1
+    rows_per_band = max(1, n_hashes // n_bands)
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
+    keys = (
+        banded.groupBy(doc_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(
+            F.concat_ws(":", F.col("seed").cast("string"), "minhash"))))).alias("band_key"))
+    )
+    a = keys.select(F.col(doc_col).alias("doc_a"), "band", "band_key")
+    b = keys.select(F.col(doc_col).alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def shingle_jaccard(shingles: DataFrame, pairs: DataFrame, *, doc_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for the given pairs:
+    (doc_a, doc_b, jaccard)."""
+    sa = shingles.select(F.col(doc_col).alias("doc_a"), "shingle")
+    sb = shingles.select(F.col(doc_col).alias("doc_b"), "shingle")
+    sizes = shingles.groupBy(doc_col).agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(doc_col, "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed(doc_col, "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text",
+                      shingle_n: int = 3, n_hashes: int = 16, n_bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs: MinHash -> LSH banding -> exact-Jaccard verify.
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    sh = word_shingles(df, shingle_n, doc_col=doc_col, text_col=text_col).cache()
+    sig = minhash_signatures(sh, n_hashes, doc_col=doc_col)
+    pairs = lsh_candidate_pairs(sig, n_bands, doc_col=doc_col)
+    return shingle_jaccard(sh, pairs, doc_col=doc_col).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exhaustive near-dup baseline: all pairs sharing >= 1 shingle,
+    exact Jaccard >= threshold. The shared-shingle join bounds the pair
+    explosion to near-duplicates."""
+    sh = word_shingles(df, shingle_n, doc_col=doc_col, text_col=text_col).cache()
+    pairs = (
+        sh.select(F.col(doc_col).alias("doc_a"), "shingle")
+        .join(sh.select(F.col(doc_col).alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    return shingle_jaccard(sh, pairs, doc_col=doc_col).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, bits: int = 16, *, doc_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — ``bits``-bit SimHash over whitespace tokens,
+    tf-weighted. Bit k comes from nibble k//4 of the token's md5 hex
+    (portable across engines)."""
+    toks = (
+        df.select(F.col(doc_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy(doc_col, "w").agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5("w"))
+    )
+    cols = []
+    for k in range(bits):
+        nib = F.conv(F.substring("h", 1 + k // 4, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, 3 - (k % 4)).bitwiseAND(F.lit(1))
+        contrib = F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))
+        cols.append(F.sum(contrib).alias(f"b{k}"))
+    agg = toks.groupBy(doc_col).agg(*cols)
+    sim = sum(
+        (F.when(F.col(f"b{k}") > 0, F.lit(1 << (bits - 1 - k))).otherwise(0)
+         for k in range(bits)),
+        F.lit(0),
+    )
+    return agg.select(doc_col, sim.cast("long").alias("simhash"))

@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the pipeline as ``binary`` columns with
+a metadata struct. The Spark-side plumbing (schema, Arrow batch shape,
+partitioning, UDF signatures) is real and tested; the actual media
+decode is STUBBED — this container ships no image/audio libs — behind
+``decode_stub``, which raises NotImplementedError unless
+``deterministic_fake=True``, in which case it derives fake
+(width, height, n_frames) from the payload sha256 so tests are stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id long, n_bytes long, content_sha string, media_type string, "
+    "width int, height int, n_frames int"
+)
+
+
+def as_media_column(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text",
+                    media_type: str = "image/fake") -> DataFrame:
+    """Wraps a source column as an opaque binary payload + type tag —
+    the ingestion shape for media tables: (doc_id, payload, media_type)."""
+    return df.select(
+        F.col(doc_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+    )
+
+
+def decode_stub(payload: bytes, *, deterministic_fake: bool = False):
+    """STUB for the media decode step (no codec libs in this container).
+
+    Real deployments replace this with PIL/ffmpeg decode inside the same
+    mapInPandas batch loop. The fake derives dims from the payload hash
+    so downstream plumbing is testable and deterministic.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media decode requires image/audio libraries not present in this container"
+        )
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "n_frames": 1 + h[2] % 8,
+    }
+
+
+def extract_media_meta(media: DataFrame, *, deterministic_fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches of binary
+    payloads — the decode/resize/frame-sample slot in a real pipeline."""
+
+    def extract(batches):
+        for pdf in batches:
+            metas = [decode_stub(bytes(p), deterministic_fake=deterministic_fake)
+                     for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "content_sha": [hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]],
+                "media_type": pdf["media_type"],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "n_frames": [m["n_frames"] for m in metas],
+            })
+
+    return media.mapInPandas(extract, MEDIA_META_SCHEMA)
