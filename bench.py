@@ -7,14 +7,14 @@
 Stages:
 - build / blocks / query(naive|wand) over $SPARK_GRAFT_SF_DIR documents;
 - the north rule's two-cluster-size proxy: the same index-build and
-  query batch on the same deterministic synthetic source-code corpus at
-  local[N] and local[4N] (N = SPARK_GRAFT_CPUS/4), reporting throughput
-  at both and the scaling efficiency X_4N / (4 * X_N).
+  WAND query batch on the same deterministic synthetic source-code
+  corpus at local[N] and local[4N] (N = SPARK_GRAFT_CPUS/4), reporting
+  throughput at both and the scaling efficiency X_4N / (4 * X_N).
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_SCALING=0 to skip the scaling runs,
-     SPARK_GRAFT_SYNTH_DOCS (default 60000).
+     SPARK_GRAFT_SYNTH_DOCS (default 240000).
 """
 
 from __future__ import annotations
@@ -40,8 +40,6 @@ def _mk_queries(spark, texts, n_queries, seed=7):
 
 
 def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
-    from pyspark.sql import functions as F
-
     from textsearch_spark.config import TextConfig
     from textsearch_spark.operators.postings import build_posting_blocks
     from textsearch_spark.operators.search import search_bm25
@@ -50,7 +48,9 @@ def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
     from textsearch_spark.session import get_spark
 
     spark = get_spark(f"local[{cpus}]", app_name="bench", shuffle_partitions=cpus)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    # the sf parquet is a single file -> spread it over the cores, but
+    # not so thin that python-worker startup dominates a small table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus).cache()
     n_docs = docs.count()
 
     t0 = time.time()
@@ -83,31 +83,34 @@ def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
 
 
 def _scaling_run(cpus: int, n_docs: int, n_queries: int):
-    """One parallelism level: synth corpus -> index build -> query batch.
-    Returns (build_sec, query_sec)."""
+    """One parallelism level: synth corpus -> index+blocks build -> WAND
+    query batch. Returns (build_sec, query_sec)."""
     from textsearch_spark.config import TextConfig
-    from textsearch_spark.operators.search import search_bm25
+    from textsearch_spark.operators.postings import build_posting_blocks
+    from textsearch_spark.operators.wand import search_bm25_wand
     from textsearch_spark.plans.build import build_bm25_index
     from textsearch_spark.session import get_spark
     from textsearch_spark.sources.corpus import synthetic_code_corpus, with_doc_ids
 
     spark = get_spark(f"local[{cpus}]", app_name=f"bench-scaling-{cpus}",
-                      shuffle_partitions=max(cpus * 2, 32))
+                      shuffle_partitions=max(cpus, 8))
     corpus = with_doc_ids(
-        synthetic_code_corpus(spark, n_docs, partitions=max(cpus * 2, 32))
+        synthetic_code_corpus(spark, n_docs, partitions=max(cpus * 2, 64))
     ).cache()
     corpus.count()  # materialize generation outside the timed build
 
     t0 = time.time()
     idx = build_bm25_index(corpus, TextConfig(nlist=[1]), text_col="content")
     idx.postings.count()
+    idx.blocks = build_posting_blocks(idx.postings, span=4096).cache()
+    idx.blocks.count()
     build_sec = time.time() - t0
 
     texts = [r.content for r in corpus.select("content").limit(300).collect()]
     qdf = _mk_queries(spark, texts, n_queries).cache()
     qdf.count()
     t0 = time.time()
-    search_bm25(idx, qdf, 10).count()
+    search_bm25_wand(idx, qdf, 10).count()
     query_sec = time.time() - t0
     spark.stop()
     return build_sec, query_sec
@@ -117,7 +120,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
-    synth_docs = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "60000"))
+    synth_docs = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "240000"))
 
     timings: dict = {}
     meta: dict = {}
@@ -126,7 +129,7 @@ def main():
     scaling: dict = {}
     if do_scaling:
         n_small = max(cpus // 4, 1)
-        nq = 768
+        nq = 2048
         b_small, q_small = _scaling_run(n_small, synth_docs, nq)
         b_big, q_big = _scaling_run(cpus, synth_docs, nq)
         timings[f"synth_build_local{n_small}"] = b_small
