@@ -56,7 +56,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _index(spark: SparkSession, sf_dir: str):
     from textsearch_spark.plans.build import build_bm25_index
 
-    key = ("idx", sf_dir)
+    # keyed by session too: DataFrames die with their SparkSession, and
+    # the driver may run each query in a fresh session
+    key = ("idx", id(spark), sf_dir)
     if key not in _INDEX_CACHE:
         _INDEX_CACHE[key] = build_bm25_index(_docs(spark, sf_dir), _cfg())
     return _INDEX_CACHE[key]
@@ -65,7 +67,7 @@ def _index(spark: SparkSession, sf_dir: str):
 def _blocks_index(spark: SparkSession, sf_dir: str):
     from textsearch_spark.operators.postings import build_posting_blocks
 
-    key = ("blocks", sf_dir)
+    key = ("blocks", id(spark), sf_dir)
     if key not in _INDEX_CACHE:
         idx = _index(spark, sf_dir)
         idx.blocks = build_posting_blocks(idx.postings, span=256).cache()
@@ -328,6 +330,29 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_collocations(spark, sf_dir):
+    from textsearch_spark.config import TextConfig
+    from textsearch_spark.functions.udfs import exploded_tokens
+    from textsearch_spark.operators.vocab import bow_from_tokens
+
+    toks = exploded_tokens(_docs(spark, sf_dir), TextConfig(nlist=[1], collocations=2))
+    return bow_from_tokens(toks).select("doc_id", "token", F.col("tf").cast("long").alias("tf"))
+
+
+def q_entropy_model(spark, sf_dir):
+    from textsearch_spark.functions.weighting import fit_vector_model
+
+    model = fit_vector_model(
+        _docs(spark, sf_dir), _cfg(), local_weighting="binary",
+        global_weighting="entropy", label_col="source", smooth=0, mindocs=1,
+    )
+    return model.vocab.select(
+        "token", F.col("occs").cast("long").alias("occs"),
+        F.col("ndocs").cast("long").alias("ndocs"),
+        F.round("gweight", 4).alias("gweight4"),
+    )
+
+
 def q_approx_vocab(spark, sf_dir):
     from textsearch_spark.operators.approxvoc import approx_lookup
     from textsearch_spark.operators.vocab import build_vocab
@@ -369,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_winnow": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "approx_vocab": q_approx_vocab,
+        "collocations2": q_collocations,
+        "entropy_model": q_entropy_model,
     }
 
 
@@ -683,6 +710,46 @@ SELECT doc_id,
 FROM documents
 """,
         "approx_vocab": _approx_vocab_sql(),
+        "collocations2": f"""
+WITH pos AS ({_POS}),
+n AS (SELECT doc_id, count(*) AS n FROM ({_POS}) GROUP BY doc_id),
+colls AS (
+  SELECT a.doc_id, a.token || ' ' || b.token || chr(9) || 'c' AS token
+  FROM ({_POS}) a JOIN ({_POS}) b ON a.doc_id = b.doc_id AND b.pos > a.pos
+  JOIN n ON n.doc_id = a.doc_id
+  WHERE a.pos <= n.n - 1 AND b.pos <= least(a.pos + 3, n.n)
+),
+alltok AS (
+  SELECT doc_id, token FROM pos
+  UNION ALL
+  SELECT doc_id, token FROM colls
+)
+SELECT doc_id, token, count(*)::BIGINT AS tf FROM alltok GROUP BY doc_id, token
+""",
+        # label-conditional entropy weighting (src/emodel.jl) with the
+        # `source` column as class label, smooth=0, mindocs=1, :balance
+        "entropy_model": f"""
+WITH bow AS ({_BOW}),
+voc AS ({_VOC}),
+lab AS (SELECT doc_id, source AS label FROM documents),
+cnt AS (
+  SELECT b.token, l.label, count(*)::DOUBLE AS c
+  FROM (SELECT DISTINCT doc_id, token FROM bow) b JOIN lab l USING (doc_id)
+  GROUP BY b.token, l.label
+),
+wtot AS (SELECT label, sum(c) AS w FROM cnt GROUP BY label),
+wbal AS (SELECT label, (SELECT sum(w) FROM wtot) / w AS cw FROM wtot),
+d AS (SELECT token, c * cw AS d FROM cnt JOIN wbal USING (label)),
+tot AS (SELECT token, sum(d) AS s FROM d GROUP BY token),
+ent AS (
+  SELECT d.token, sum(-(d.d / t.s) * log2(d.d / t.s)) AS h
+  FROM d JOIN tot t USING (token) WHERE d.d > 0 GROUP BY d.token
+),
+maxent AS (SELECT log2(count(DISTINCT label)) AS m FROM lab)
+SELECT v.token, v.occs, v.ndocs,
+       round(1.0 - e.h / (SELECT m FROM maxent), 4) AS gweight4
+FROM voc v JOIN ent e USING (token)
+""",
     }
 
 

@@ -62,6 +62,42 @@ def with_tokens(df: DataFrame, cfg: TextConfig, *, text_col: str = "text",
     return df.withColumn(out_col, udf(F.col(text_col)))
 
 
+def bow_long(df: DataFrame, cfg: TextConfig, *, doc_col: str = "doc_id",
+             text_col: str = "text", multi: bool = False) -> DataFrame:
+    """(doc_id, token, tf, doclen) computed entirely inside the Arrow
+    batch: the per-doc bag-of-words is a Counter where the doc already
+    lives, so the (doc_id, token) aggregation needs NO shuffle — the
+    reference's per-thread BOW accumulation (src/bow.jl:14-23) without
+    the shared-dict locks. ``doclen`` is the doc's total (pre-filter)
+    token count."""
+    from collections import Counter
+
+    import numpy as np
+
+    schema = f"{doc_col} long, token string, tf long, doclen long"
+
+    def gen(batches):
+        for pdf in batches:
+            docs, toks, tfs, dls = [], [], [], []
+            for did, text in zip(pdf[doc_col], pdf[text_col]):
+                tokens = tokenize(cfg, None if text is None else (list(text) if multi else text))
+                if not tokens:
+                    continue
+                c = Counter(tokens)
+                docs.extend([did] * len(c))
+                toks.extend(c.keys())
+                tfs.extend(c.values())
+                dls.extend([len(tokens)] * len(c))
+            yield pd.DataFrame({
+                doc_col: np.asarray(docs, dtype=np.int64),
+                "token": toks,
+                "tf": np.asarray(tfs, dtype=np.int64),
+                "doclen": np.asarray(dls, dtype=np.int64),
+            })
+
+    return df.select(doc_col, text_col).mapInPandas(gen, schema)
+
+
 def exploded_tokens(df: DataFrame, cfg: TextConfig, *, doc_col: str = "doc_id",
                     text_col: str = "text", multi: bool = False) -> DataFrame:
     """Long-form ``(doc_id, token)`` rows — Spark's idiom for the

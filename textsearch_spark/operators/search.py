@@ -41,6 +41,23 @@ def query_tokens(index: BM25Index, queries: DataFrame, *, query_col: str = "qtex
     )
 
 
+PRUNE_MAX_TERMS = 10_000
+
+
+def prune_postings_by_terms(postings: DataFrame, q: DataFrame) -> DataFrame:
+    """Push the distinct query-term set down to the postings scan as an
+    IN filter. On a persisted index (parquet/Iceberg sorted by token)
+    this prunes row groups / files via min-max statistics — the
+    distributed analogue of the reference fetching only the query
+    terms' lists (select_posting_lists, src/bm25invfilesearch.jl:38).
+    Skipped when the batch has too many distinct terms for a literal
+    filter."""
+    toks = [r.token for r in q.select("token").distinct().limit(PRUNE_MAX_TERMS + 1).collect()]
+    if 0 < len(toks) <= PRUNE_MAX_TERMS:
+        return postings.filter(F.col("token").isin(toks))
+    return postings
+
+
 def search_bm25(
     index: BM25Index,
     queries: DataFrame,
@@ -67,6 +84,7 @@ def search_bm25(
         p = p.filter(F.col("ndocs") >= accept_min_ndocs)
     if accept_max_ndocs is not None:
         p = p.filter(F.col("ndocs") <= accept_max_ndocs)
+    p = prune_postings_by_terms(p, q)
 
     # queries are the tiny side: broadcast them so the big postings
     # relation is never shuffled — the join degenerates to a hash-probe

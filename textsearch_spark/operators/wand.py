@@ -121,7 +121,10 @@ def search_bm25_wand(
     if id_col != "query_id":
         q = q.withColumnRenamed(id_col, "query_id")
 
-    cand = index.blocks.join(F.broadcast(q), "token").withColumn(
+    from .search import prune_postings_by_terms
+
+    blocks = prune_postings_by_terms(index.blocks, q)
+    cand = blocks.join(F.broadcast(q), "token").withColumn(
         "bucket", F.pmod(F.col("block_id"), F.lit(n_buckets))
     )
     local = cand.groupBy("query_id", "bucket").applyInPandas(

@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 
 from ..config import BM25Params, FoldedBM25, TextConfig
 from ..functions.bm25 import tokenscore_expr
-from ..functions.udfs import exploded_tokens
-from ..operators.vocab import bow_from_tokens, filter_vocab, vocab_from_bow
+from ..functions.udfs import bow_long
+from ..operators.vocab import filter_vocab, vocab_from_bow
 
 POSTING_COLS = ["token", "doc_id", "tf", "doclen", "ndocs", "impact"]
 
@@ -75,8 +75,10 @@ def build_bm25_index(
     ``"ndocs > 1 AND ndocs < 5"`` (the reference golden's pruning,
     test/search.jl:31-33).
     """
-    tokens = exploded_tokens(df, cfg, doc_col=doc_col, text_col=text_col, multi=multi)
-    bow = bow_from_tokens(tokens, doc_col=doc_col)
+    # BOW straight from the Arrow kernel: no (doc, token) shuffle at all
+    # (the per-doc aggregation happens where the doc lives). ``doclen``
+    # here is the doc's total pre-filter token count.
+    bow = bow_long(df, cfg, doc_col=doc_col, text_col=text_col, multi=multi)
     if doc_col != "doc_id":
         bow = bow.withColumnRenamed(doc_col, "doc_id")
     if cache:
@@ -99,10 +101,19 @@ def build_bm25_index(
     # in-vocabulary BOW: broadcast-or-shuffle semi join on token; AQE
     # picks broadcast when the pruned vocabulary is small
     bow_f = bow.join(vocab.select("token", "ndocs"), "token")
-    doclens = bow_f.groupBy("doc_id").agg(F.sum("tf").alias("doclen"))
+
+    # scoring doclen counts only in-vocabulary tokens
+    # (src/bm25invfile.jl:141-154). Without a vocab filter that is the
+    # kernel-computed doclen (zero shuffles); with one, recompute via a
+    # single doc_id window.
+    if vocab_filter:
+        from pyspark.sql.window import Window
+
+        wdoc = Window.partitionBy("doc_id")
+        bow_f = bow_f.withColumn("doclen", F.sum("tf").over(wdoc))
 
     postings = (
-        bow_f.join(doclens, "doc_id")
+        bow_f
         .withColumn(
             "impact",
             tokenscore_expr(
@@ -116,6 +127,9 @@ def build_bm25_index(
     )
     if cache:
         postings = postings.cache()
+    # doclens table derives from the postings partitioning (no extra
+    # shuffle thanks to the shared doc_id exchange)
+    doclens = postings.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
 
     return BM25Index(
         cfg=cfg, params=params, bm25=bm25, vocab=vocab,
