@@ -353,6 +353,19 @@ def q_entropy_model(spark, sf_dir):
     )
 
 
+def q_cosine_topk(spark, sf_dir):
+    """WeightedInvertedFile-style cosine retrieval (test/search.jl:2-14)
+    with an idf x tf model."""
+    from textsearch_spark.functions.weighting import fit_vector_model, vectorize
+    from textsearch_spark.operators.cosine_search import search_cosine
+
+    docs = _docs(spark, sf_dir)
+    model = fit_vector_model(docs, _cfg(), local_weighting="tf", global_weighting="idf")
+    vecs = vectorize(model, docs)
+    res = search_cosine(model, vecs, _query_df(spark), TOP_K)
+    return res.select("query_id", "rank", "doc_id", F.round("cos", 4).alias("cos4"))
+
+
 def q_approx_vocab(spark, sf_dir):
     from textsearch_spark.operators.approxvoc import approx_lookup
     from textsearch_spark.operators.vocab import build_vocab
@@ -396,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_vocab": q_approx_vocab,
         "collocations2": q_collocations,
         "entropy_model": q_entropy_model,
+        "cosine_topk": q_cosine_topk,
     }
 
 
@@ -728,6 +742,43 @@ SELECT doc_id, token, count(*)::BIGINT AS tf FROM alltok GROUP BY doc_id, token
 """,
         # label-conditional entropy weighting (src/emodel.jl) with the
         # `source` column as class label, smooth=0, mindocs=1, :balance
+        # cosine retrieval: idf x tf vectors, L2-normalized, dot-product
+        # top-k. Query tokens in QUERY_SET are distinct within each
+        # query, so the query-side tf local weight is 1.
+        "cosine_topk": f"""
+WITH bow AS ({_BOW}),
+voc AS ({_VOC}),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+w AS (
+  SELECT b.doc_id, b.token,
+         (b.tf::DOUBLE / max(b.tf) OVER (PARTITION BY b.doc_id))
+           * log2((0.5 + n.n_docs) / (0.5 + v.ndocs)) AS w
+  FROM bow b JOIN voc v USING (token) CROSS JOIN n
+),
+docvec AS (
+  SELECT doc_id, token, w / sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS wt
+  FROM w WHERE w >= 1e-6
+),
+q(query_id, token) AS (SELECT * FROM (VALUES {_query_values_sql()})),
+qw AS (
+  SELECT q.query_id, q.token, log2((0.5 + n.n_docs) / (0.5 + v.ndocs)) AS w
+  FROM q JOIN voc v USING (token) CROSS JOIN n
+),
+qv AS (
+  SELECT query_id, token, w / sqrt(sum(w*w) OVER (PARTITION BY query_id)) AS qwt
+  FROM qw WHERE w >= 1e-6
+),
+scored AS (
+  SELECT qv.query_id, d.doc_id, sum(d.wt * qv.qwt) AS cos
+  FROM qv JOIN docvec d USING (token)
+  GROUP BY qv.query_id, d.doc_id
+)
+SELECT query_id, rank, doc_id, round(cos, 4) AS cos4 FROM (
+  SELECT query_id, doc_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
         "entropy_model": f"""
 WITH bow AS ({_BOW}),
 voc AS ({_VOC}),

@@ -110,13 +110,19 @@ def _scaling_run(cpus: int, n_docs: int, n_queries: int):
     qdf = _mk_queries(spark, texts, n_queries).cache()
     qdf.count()
     t0 = time.time()
-    search_bm25_wand(idx, qdf, 10).count()
+    # fixed bucket count at every parallelism level: identical logical
+    # work and pruning, so the comparison isolates the core count
+    search_bm25_wand(idx, qdf, 10, n_buckets=64).count()
     query_sec = time.time() - t0
     spark.stop()
     return build_sec, query_sec
 
 
 def main():
+    # one JVM serves every session in this process; size its heap for
+    # the cached 25M-row postings BEFORE the first session starts (an
+    # 8g heap evicts the cache and silently penalizes the local[N] run)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"

@@ -1,0 +1,75 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files textsearch_spark.zip -m textsearch_spark.cli build \
+        --input /data/code_files --text-col content --index /indexes/code \
+        --vocab-filter "ndocs > 1" --block-span 4096
+    spark-submit ... search --index /indexes/code --queries /data/queries.parquet \
+        --k 10 --output /results/topk --engine wand
+
+``build`` is checkpointed/resumable (plans/checkpoint.py); ``search``
+loads the persisted index and runs either scorer.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="textsearch_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) a BM25 index")
+    b.add_argument("--input", required=True, help="parquet/Iceberg path of the corpus")
+    b.add_argument("--index", required=True, help="output index directory")
+    b.add_argument("--doc-col", default="doc_id")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--textconfig", default=None, help="TextConfig JSON")
+    b.add_argument("--vocab-filter", default=None)
+    b.add_argument("--block-span", type=int, default=4096)
+    b.add_argument("--assign-doc-ids", action="store_true",
+                   help="derive stable doc ids from (repo, path, commit)")
+
+    s = sub.add_parser("search", help="top-k BM25 search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True, help="parquet with (query_id, qtext)")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--engine", choices=["wand", "naive"], default="wand")
+    s.add_argument("--output", required=True)
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .config import TextConfig
+
+    spark = SparkSession.builder.getOrCreate()
+
+    if args.cmd == "build":
+        from .plans.checkpoint import build_bm25_index_checkpointed
+        from .sources.corpus import with_doc_ids
+
+        df = spark.read.parquet(args.input)
+        if args.assign_doc_ids:
+            df = with_doc_ids(df)
+        cfg = TextConfig.from_json(args.textconfig) if args.textconfig else TextConfig(nlist=[1])
+        idx = build_bm25_index_checkpointed(
+            df, cfg, args.index,
+            doc_col=args.doc_col, text_col=args.text_col,
+            vocab_filter=args.vocab_filter, block_span=args.block_span,
+        )
+        print(f"index at {args.index}: n_docs={idx.n_docs} avgdl={idx.avgdl:.3f}")
+    else:
+        from .operators.search import search_bm25
+        from .operators.wand import search_bm25_wand
+        from .sources.io import load_index
+
+        idx = load_index(spark, args.index)
+        queries = spark.read.parquet(args.queries)
+        fn = search_bm25_wand if args.engine == "wand" else search_bm25
+        fn(idx, queries, args.k).write.mode("overwrite").parquet(args.output)
+        print(f"results at {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Cosine retrieval over weighted sparse vectors — the reference's
+WeightedInvertedFile path (test/search.jl:2-14, examples/invindex.jl:80-82).
+
+The "index" is the vectorized corpus in long form (doc_id, token,
+weight), L2-normalized, i.e. the same postings machinery as BM25 with a
+weight payload instead of tf; the score is the dot product, so top-k by
+cosine similarity. Query vectors come from the same VectorModel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.weighting import EMPTY_SENTINEL, VectorModel, vectorize
+from .search import prune_postings_by_terms
+
+
+def search_cosine(
+    model: VectorModel,
+    corpus_vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    query_col: str = "qtext",
+    id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, rank, doc_id, cos) — top-k by dot product of
+    L2-normalized vectors. ``corpus_vectors`` is the output of
+    ``vectorize(model, docs)`` (kept normalized)."""
+    qv = vectorize(model, queries, doc_col=id_col, text_col=query_col)
+    qv = qv.filter(F.col("token") != EMPTY_SENTINEL).select(
+        F.col(id_col), F.col("token"), F.col("weight").alias("__qw")
+    )
+    p = corpus_vectors.filter(F.col("token") != EMPTY_SENTINEL)
+    p = prune_postings_by_terms(p, qv)
+    scored = (
+        p.join(F.broadcast(qv), "token")
+        .groupBy(id_col, "doc_id")
+        .agg(F.sum(F.col("weight") * F.col("__qw")).alias("cos"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "doc_id", "cos")
+    )

@@ -32,6 +32,14 @@ def add(a: DataFrame, b: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def centroid(vecs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """L2-normalized sum of a set of sparse vectors -> one-vector table
+    (token, weight) (reference: centroid, src/dvec.jl:200-217)."""
+    summed = vecs.groupBy("token").agg(F.sum("weight").alias("weight"))
+    total = F.sqrt(F.sum(F.col("weight") ** 2).over(Window.partitionBy()))
+    return summed.withColumn("weight", F.col("weight") / total)
+
+
 def pairwise_dot(a: DataFrame, b: DataFrame, *, a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:
     """All-pairs sparse dot products via the shared-token join
     (src/dvec.jl:124-136): a (a_id, token, weight) x b (b_id, token,

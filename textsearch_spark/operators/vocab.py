@@ -69,6 +69,13 @@ def filter_vocab(vocab: DataFrame, predicate_sql: str) -> DataFrame:
     return vocab.filter(predicate_sql)
 
 
+def filter_tokens_df(tokens: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Drop tokens not present in the vocabulary — the reference's
+    filter_tokens!(voc, text) (src/updatevoc.jl:30-55) as a left-semi
+    join (broadcast when the vocabulary is small)."""
+    return tokens.join(vocab.select("token"), "token", "left_semi")
+
+
 def vocab_from_thesaurus(spark, tokens) -> DataFrame:
     """Fixed token list with occs=ndocs=1
     (reference: src/voc.jl:39-47)."""
