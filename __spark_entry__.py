@@ -49,8 +49,26 @@ def _cfg():
     return TextConfig(nlist=[1])
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to executor Python workers (the
+    spark-submit --py-files mechanism), so the driver contract works
+    even when the calling process's cwd is outside the repo."""
+    key = ("shipped", id(spark))
+    if key not in _INDEX_CACHE:
+        from textsearch_spark.session import package_zip
+
+        spark.sparkContext.addPyFile(package_zip())
+        _INDEX_CACHE[key] = True
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _index(spark: SparkSession, sf_dir: str):
@@ -285,7 +303,7 @@ def q_simhash(spark, sf_dir):
 def q_embedding_cosine_topk(spark, sf_dir):
     from textsearch_spark.operators.simsearch import cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     res = cosine_topk(emb, list(range(20)), k=5)
     return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
 
@@ -293,7 +311,7 @@ def q_embedding_cosine_topk(spark, sf_dir):
 def q_embedding_lsh_buckets(spark, sf_dir):
     from textsearch_spark.operators.simsearch import with_lsh_bucket
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return with_lsh_bucket(emb, n_planes=8, dim=64).select("vec_id", "bucket")
 
 
@@ -377,6 +395,131 @@ def q_approx_vocab(spark, sf_dir):
     return approx_lookup(voc, qs).select("qtoken", "match_token", F.round("dist", 4).alias("dist4"))
 
 
+def q_centroid(spark, sf_dir):
+    """Normalized sum of the corpus's tf-idf vectors
+    (reference: centroid, src/dvec.jl:200-217)."""
+    from textsearch_spark.functions.weighting import fit_vector_model, vectorize
+    from textsearch_spark.operators.dvec import centroid
+
+    docs = _docs(spark, sf_dir)
+    model = fit_vector_model(docs, _cfg(), local_weighting="tf", global_weighting="idf")
+    vecs = vectorize(model, docs)
+    return centroid(vecs).select("token", F.round("weight", 4).alias("weight4"))
+
+
+def q_filter_tokens(spark, sf_dir):
+    """Sequence-preserving in-vocabulary token filter
+    (reference: filter_tokens!, src/updatevoc.jl:30-55)."""
+    from textsearch_spark.functions.udfs import with_tokens
+    from textsearch_spark.operators.vocab import build_vocab, filter_tokens_df, filter_vocab
+
+    docs = _docs(spark, sf_dir)
+    voc = filter_vocab(build_vocab(docs, _cfg()), "ndocs >= 50")
+    toks = with_tokens(docs, _cfg()).select(
+        "doc_id", F.posexplode("tokens").alias("pos0", "token")
+    ).withColumn("pos", (F.col("pos0") + 1).cast("long")).drop("pos0")
+    return filter_tokens_df(toks, voc).select("doc_id", "pos", "token")
+
+
+def q_tp_idf(spark, sf_dir):
+    """TpWeighting x IdfWeighting vectors (src/vmodel.jl:251,253)."""
+    from textsearch_spark.functions.weighting import fit_vector_model, vectorize
+
+    docs = _docs(spark, sf_dir)
+    model = fit_vector_model(docs, _cfg(), local_weighting="tp", global_weighting="idf")
+    v = vectorize(model, docs)
+    return v.select("doc_id", "token", F.round("weight", 4).alias("weight4"))
+
+
+def q_freq_binary(spark, sf_dir):
+    """FreqWeighting x BinaryGlobalWeighting vectors
+    (src/vmodel.jl:250,254)."""
+    from textsearch_spark.functions.weighting import fit_vector_model, vectorize
+
+    docs = _docs(spark, sf_dir)
+    model = fit_vector_model(docs, _cfg(), local_weighting="freq", global_weighting="binary")
+    v = vectorize(model, docs)
+    return v.select("doc_id", "token", F.round("weight", 4).alias("weight4"))
+
+
+def q_model_quantile_pruned(spark, sf_dir):
+    """Quantile pruning of an idf model at p=0.9
+    (reference: test/vec.jl:63-89)."""
+    from textsearch_spark.functions.weighting import fit_vector_model, prune_model_quantile
+
+    model = fit_vector_model(_docs(spark, sf_dir), _cfg(),
+                             local_weighting="tf", global_weighting="idf")
+    pruned = prune_model_quantile(model, 0.9)
+    return pruned.vocab.select(
+        "token", F.col("occs").cast("long").alias("occs"),
+        F.col("ndocs").cast("long").alias("ndocs"),
+        F.round("gweight", 4).alias("gweight4"),
+    )
+
+
+def q_multi_message_bow(spark, sf_dir):
+    """Multi-message documents: doc pairs (group = doc_id // 2) become
+    one array<string> doc, every message tokenized into a single BOW
+    (reference: bagofwords! over Vector{String}, src/bow.jl:41-50)."""
+    from textsearch_spark.functions.udfs import exploded_tokens
+    from textsearch_spark.operators.vocab import bow_from_tokens
+
+    docs = _docs(spark, sf_dir)
+    grouped = (
+        docs.withColumn("group_id", (F.col("doc_id") / 2).cast("long"))
+        .groupBy("group_id")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("__m"))
+        .select("group_id", F.col("__m.text").alias("messages"))
+    )
+    toks = exploded_tokens(grouped, _cfg(), doc_col="group_id",
+                           text_col="messages", multi=True)
+    return bow_from_tokens(toks, doc_col="group_id").select(
+        "group_id", "token", F.col("tf").cast("long").alias("tf")
+    )
+
+
+def q_stopword_bow(spark, sf_dir):
+    """BOW with the IgnoreStopwords transformation hook dropping English
+    stopwords (reference: src/tokentrans.jl:56-62)."""
+    from textsearch_spark.config import IgnoreStopwords
+    from textsearch_spark.functions.udfs import exploded_tokens
+    from textsearch_spark.operators.textstats import LANG_PROFILES
+    from textsearch_spark.operators.vocab import bow_from_tokens
+
+    cfg = _cfg().with_(tt=IgnoreStopwords(LANG_PROFILES["en"]))
+    toks = exploded_tokens(_docs(spark, sf_dir), cfg)
+    return bow_from_tokens(toks).select("doc_id", "token", F.col("tf").cast("long").alias("tf"))
+
+
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """Full near-dup pipeline: shingle -> minhash -> LSH band bucket-join
+    -> exact-Jaccard verify."""
+    from textsearch_spark.operators.dedup import minhash_lsh_dedup
+
+    res = minhash_lsh_dedup(_docs(spark, sf_dir), shingle_n=3, n_hashes=8,
+                            n_bands=4, threshold=0.18)
+    return res.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard4"))
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    """Approximate ANN: exact cosine among same-LSH-bucket candidates."""
+    from textsearch_spark.operators.simsearch import lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    res = lsh_cosine_topk(emb, list(range(20)), k=5, n_planes=8, dim=64)
+    return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH buckets + exact
+    verify."""
+    from textsearch_spark.operators.simsearch import lsh_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    res = lsh_near_dup_pairs(emb, threshold=0.3, n_planes=8, dim=64)
+    return res.select("vec_a", "vec_b", F.round("cos", 4).alias("cos4"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_unigrams": q_vocab,
@@ -410,6 +553,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations2": q_collocations,
         "entropy_model": q_entropy_model,
         "cosine_topk": q_cosine_topk,
+        "centroid": q_centroid,
+        "filter_tokens": q_filter_tokens,
+        "tp_idf_vectorize": q_tp_idf,
+        "freq_binary_vectorize": q_freq_binary,
+        "model_quantile_pruned": q_model_quantile_pruned,
+        "multi_message_bow": q_multi_message_bow,
+        "stopword_bow": q_stopword_bow,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -554,7 +707,153 @@ SELECT p.doc_id, p.pos::BIGINT AS pos, i.term_id FROM pos p JOIN ids i USING (to
         "content_sha": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
     }
     sqls.update(_pipeline_oracles())
+    sqls.update(_extra_oracles())
     return sqls
+
+
+_TFIDF_VEC = f"""
+SELECT doc_id, token, w / sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS wt
+FROM (
+  SELECT b.doc_id, b.token,
+         (b.tf::DOUBLE / max(b.tf) OVER (PARTITION BY b.doc_id))
+           * log2((0.5 + n.n_docs) / (0.5 + v.ndocs)) AS w
+  FROM ({_BOW}) b JOIN ({_VOC}) v USING (token)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS n_docs FROM documents) n
+) WHERE w >= 1e-6
+"""
+
+
+def _extra_oracles() -> dict[str, str]:
+    from textsearch_spark.operators.textstats import LANG_PROFILES
+
+    sw_en = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return {
+        "centroid": f"""
+WITH docvec AS ({_TFIDF_VEC}),
+c AS (SELECT token, sum(wt) AS s FROM docvec GROUP BY token)
+SELECT token, round(s / sqrt((SELECT sum(s*s) FROM c)), 4) AS weight4 FROM c
+""",
+        "filter_tokens": f"""
+SELECT p.doc_id, p.pos::BIGINT AS pos, p.token
+FROM ({_POS}) p JOIN (SELECT token FROM ({_VOC}) WHERE ndocs >= 50) v USING (token)
+""",
+        "tp_idf_vectorize": f"""
+WITH w AS (
+  SELECT b.doc_id, b.token,
+         (b.tf::DOUBLE / sum(b.tf) OVER (PARTITION BY b.doc_id))
+           * log2((0.5 + n.n_docs) / (0.5 + v.ndocs)) AS w
+  FROM ({_BOW}) b JOIN ({_VOC}) v USING (token)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS n_docs FROM documents) n
+),
+kept AS (SELECT * FROM w WHERE w >= 1e-6)
+SELECT doc_id, token,
+       round(w / sqrt(sum(w*w) OVER (PARTITION BY doc_id)), 4) AS weight4
+FROM kept
+""",
+        "freq_binary_vectorize": f"""
+WITH w AS (SELECT doc_id, token, tf::DOUBLE AS w FROM ({_BOW})),
+kept AS (SELECT * FROM w WHERE w >= 1e-6)
+SELECT doc_id, token,
+       round(w / sqrt(sum(w*w) OVER (PARTITION BY doc_id)), 4) AS weight4
+FROM kept
+""",
+        "model_quantile_pruned": f"""
+WITH g AS (
+  SELECT token, occs, ndocs,
+         log2((0.5 + n.n_docs) / (0.5 + ndocs)) AS gw
+  FROM ({_VOC}) CROSS JOIN (SELECT count(*)::DOUBLE AS n_docs FROM documents) n
+),
+q AS (SELECT quantile_cont(gw, 0.9) AS qv FROM g)
+SELECT token, occs, ndocs, round(gw, 4) AS gweight4 FROM g, q WHERE gw >= qv
+""",
+        "multi_message_bow": f"""
+SELECT (doc_id // 2) AS group_id, token, count(*)::BIGINT AS tf
+FROM ({_TOK}) GROUP BY group_id, token
+""",
+        "stopword_bow": f"""
+SELECT doc_id, token, count(*)::BIGINT AS tf FROM ({_TOK})
+WHERE token NOT IN ({sw_en}) GROUP BY doc_id, token
+""",
+        "minhash_lsh_dedup": f"""
+WITH sh AS ({_shingle_sql(3)}),
+seeds AS (SELECT unnest(generate_series(0, 7))::BIGINT AS seed),
+sig AS (
+  SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+  FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+),
+keys AS (
+  SELECT doc_id, (seed // 2) AS band,
+         md5(string_agg(seed::VARCHAR || ':' || minhash, '|'
+             ORDER BY seed::VARCHAR || ':' || minhash)) AS band_key
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keys a JOIN keys b ON a.band = b.band AND a.band_key = b.band_key
+    AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, round(jac, 4) AS jaccard4 FROM j WHERE jac >= 0.18
+""",
+        "embedding_lsh_topk": f"""
+WITH b AS ({_lsh_bucket_sql()}),
+e AS (SELECT b.vec_id, b.bucket, emb.embedding::DOUBLE[] AS v
+      FROM b JOIN embeddings emb USING (vec_id)),
+q AS (SELECT vec_id AS query_id, bucket, v AS qv FROM e WHERE vec_id < 20),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos4 FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
+        "embedding_near_dup": f"""
+WITH b AS ({_lsh_bucket_sql()}),
+e AS (SELECT b.vec_id, b.bucket, emb.embedding::DOUBLE[] AS v
+      FROM b JOIN embeddings emb USING (vec_id)),
+s AS (
+  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         list_dot_product(a.v, c.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 4) AS cos4 FROM s WHERE cos >= 0.3
+""",
+    }
+
+
+def _lsh_bucket_sql() -> str:
+    """(vec_id, bucket) via the shared deterministic hyperplanes."""
+    from textsearch_spark.operators.simsearch import _hyperplane_expr
+
+    planes = _hyperplane_expr(8, 64)
+    plane_vals = ", ".join(
+        f"({p}, {d + 1}, {planes[p][d]!r})" for p in range(8) for d in range(64)
+    )
+    return f"""
+SELECT vec_id, string_agg(bb, '' ORDER BY p) AS bucket FROM (
+  SELECT vec_id, p, CASE WHEN sum(x * val) >= 0 THEN '1' ELSE '0' END AS bb
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding)::DOUBLE AS x FROM embeddings) e
+  JOIN (SELECT * FROM (VALUES {plane_vals}) planes(p, d, val)) pl USING (d)
+  GROUP BY vec_id, p
+) GROUP BY vec_id
+"""
 
 
 def _shingle_sql(k: int) -> str:

@@ -225,6 +225,16 @@ def filter_model_tokens(model: VectorModel, predicate_sql: str) -> VectorModel:
     return replace(model, vocab=model.vocab.filter(predicate_sql))
 
 
+def prune_model_quantile(model: VectorModel, p: float) -> VectorModel:
+    """Drop vocab entries whose global weight falls below the p-quantile
+    of the model's weights — the reference's quantile pruning
+    ``q = quantile(model.weight, p); filter_tokens(t -> q <= t.weight, model)``
+    (/root/reference/test/vec.jl:63-89). Spark's ``percentile`` and
+    Julia's default quantile are both type-7 linear interpolation."""
+    q = model.vocab.agg(F.expr(f"percentile(gweight, {p})")).collect()[0][0]
+    return replace(model, vocab=model.vocab.filter(F.col("gweight") >= q))
+
+
 def dot_products(a: DataFrame, b: DataFrame, *, doc_col: str = "doc_id") -> DataFrame:
     """Pairwise dot products of equal-doc_id vectors from two vector
     tables — (doc_id, dot). Long-form join+agg (src/dvec.jl:124-136)."""

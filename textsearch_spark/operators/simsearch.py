@@ -95,6 +95,36 @@ def with_lsh_bucket(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, *,
     return embeddings.withColumn("bucket", F.concat(*bits))
 
 
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates share a sign-LSH
+    bucket, then exact cosine >= threshold. (vec_a, vec_b, cos) with
+    vec_a < vec_b. The join key is the bucket string, so at scale each
+    bucket's pair enumeration stays local to its shuffle partition; the
+    plane count bounds expected bucket size (n / 2^planes)."""
+    b = with_lsh_bucket(embeddings, n_planes, dim, vec_col=vec_col)
+    a = b.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), "bucket")
+    c = b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"), "bucket")
+    pairs = a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    # left-fold in dimension order: bit-compatible with a sequential
+    # dot-product loop (the DuckDB oracle's list_dot_product)
+    dot = sum((F.col("__va")[d].cast("double") * F.col("__vb")[d].cast("double")
+               for d in range(dim)), F.lit(0.0))
+    nrm = lambda c_: F.sqrt(sum((F.col(c_)[d].cast("double") ** 2 for d in range(dim)),
+                                F.lit(0.0)))
+    return (
+        pairs.select("vec_a", "vec_b", (dot / (nrm("__va") * nrm("__vb"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
