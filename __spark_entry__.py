@@ -520,6 +520,37 @@ def q_embedding_near_dup(spark, sf_dir):
     return res.select("vec_a", "vec_b", F.round("cos", 4).alias("cos4"))
 
 
+THESAURUS_TOKENS = ["table", "scan", "join", "merge", "index", "spark"]
+
+
+def q_vocab_thesaurus(spark, sf_dir):
+    """Fixed token list with occs=ndocs=1 (reference:
+    vocabulary_from_thesaurus, src/voc.jl:39-47)."""
+    from textsearch_spark.operators.vocab import vocab_from_thesaurus
+
+    _ensure_shipped(spark)
+    return vocab_from_thesaurus(spark, THESAURUS_TOKENS)
+
+
+def q_dvec_distances(spark, sf_dir):
+    """Cosine and angle distances between all tf-idf vector pairs of the
+    first 10 docs (reference: src/dvec.jl:319-379); model fit on the
+    same 10-doc slice so the oracle is self-contained."""
+    from textsearch_spark.functions.weighting import fit_vector_model, vectorize
+    from textsearch_spark.operators.dvec import angle_distance, cosine_distance
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 10")
+    model = fit_vector_model(docs, _cfg(), local_weighting="tf", global_weighting="idf")
+    vecs = vectorize(model, docs)
+    a = vecs.select(F.col("doc_id").alias("a_id"), "token", "weight")
+    b = vecs.select(F.col("doc_id").alias("b_id"), "token", "weight")
+    cd = cosine_distance(a, b).filter("a_id < b_id") \
+        .select("a_id", "b_id", F.round("dist", 4).alias("cos_dist4"))
+    ad = angle_distance(a, b).filter("a_id < b_id") \
+        .select("a_id", "b_id", F.round("dist", 4).alias("angle4"))
+    return cd.join(ad, ["a_id", "b_id"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_unigrams": q_vocab,
@@ -563,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "vocab_thesaurus": q_vocab_thesaurus,
+        "dvec_distances": q_dvec_distances,
     }
 
 
@@ -833,6 +866,35 @@ s AS (
   FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 )
 SELECT vec_a, vec_b, round(cos, 4) AS cos4 FROM s WHERE cos >= 0.3
+""",
+        "vocab_thesaurus": "SELECT * FROM (VALUES "
+        + ", ".join(f"('{t}', 1::BIGINT, 1::BIGINT)" for t in THESAURUS_TOKENS)
+        + ") t(token, occs, ndocs)",
+        "dvec_distances": """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents WHERE doc_id < 10),
+bow AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+voc AS (SELECT token, count(*) AS ndocs FROM bow GROUP BY token),
+w AS (
+  SELECT b.doc_id, b.token,
+         (b.tf::DOUBLE / max(b.tf) OVER (PARTITION BY b.doc_id))
+           * log2((0.5 + 10.0) / (0.5 + v.ndocs)) AS w
+  FROM bow b JOIN voc v USING (token)
+),
+docvec AS (
+  SELECT doc_id, token, w / sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS wt
+  FROM w WHERE w >= 1e-6
+),
+norms AS (SELECT doc_id, sqrt(sum(wt*wt)) AS nrm FROM docvec GROUP BY doc_id),
+d AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.wt * b.wt) AS dot
+  FROM docvec a JOIN docvec b USING (token) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(1.0 - dot / (na.nrm * nb.nrm), 4) AS cos_dist4,
+       round(acos(least(greatest(dot / (na.nrm * nb.nrm), -1.0), 1.0)), 4) AS angle4
+FROM d JOIN norms na ON a_id = na.doc_id JOIN norms nb ON b_id = nb.doc_id
 """,
     }
 

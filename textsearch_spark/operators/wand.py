@@ -4,23 +4,35 @@ Replaces the reference's k-way union merge + KnnResult
 (xmerge! at src/bm25invfilesearch.jl:37-45, onmatch! at :10-24) with a
 distributed, pruned equivalent:
 
-1. query terms (tiny, broadcast) join the block table on token — the
-   distributed ``select_posting_lists``;
-2. candidate blocks are grouped by (query_id, bucket) where
-   ``bucket = block_id mod n_buckets``: each group owns complete doc
-   ranges, so every document's full score is computable locally
-   (ranges are aligned across terms, see operators/postings.py);
-3. inside each group an Arrow-batched kernel runs range-synchronized
-   block-max WAND: doc ranges are visited in descending upper bound
-   (sum of the participating terms' block maxima); once the running
-   k-th best score exceeds the next range's bound, the remaining
-   ranges — and their decompression — are skipped. Rank-safe: a
-   skipped doc's true score is <= its range bound < theta;
+1. query terms are aggregated per token (``token -> [query_ids]``, a
+   tiny broadcast side) and joined to the block table — the distributed
+   ``select_posting_lists``. Each candidate row is a distinct
+   (token, block), NOT a (query, token, block): a block blob crosses
+   the wire and is decoded **once** no matter how many queries in the
+   batch share the term;
+2. candidate blocks are grouped by ``bucket = block_id mod n_buckets``:
+   block ranges are aligned across terms (operators/postings.py), so a
+   bucket owns complete doc ranges and every document's full score for
+   every query is computable locally;
+3. inside each bucket an Arrow-batched kernel runs, per query,
+   range-synchronized block-max WAND: doc ranges are visited in
+   descending upper bound (sum of the participating terms' block
+   maxima); once the running k-th best score exceeds the next range's
+   bound, the remaining ranges are skipped. Decompression is lazy and
+   cached, so a block is decoded only if at least one query's WAND
+   loop actually reaches it — and at most once per bucket;
 4. a final top-k window merges the per-bucket candidates.
 
+Rank safety: a skipped doc's true score is <= its range bound < theta.
 Scores are float64 and per-doc summation is done in a fixed token
 order, so results are rank-identical to the naive Catalyst scorer
 (operators/search.py) — differential-tested in tests/test_wand.py.
+
+Scale notes: the shuffle key is the bucket, so per-task memory is
+(candidate blocks / n_buckets) regardless of query-batch size; the
+per-query state inside the kernel is a bounded top-k. For very large
+query batches the caller splits the batch (queries are independent),
+keeping the broadcast token->query_ids map small.
 """
 
 from __future__ import annotations
@@ -42,56 +54,90 @@ from .search import query_tokens
 _OUT_SCHEMA = "query_id long, doc_id long, score double"
 
 
-def _score_ranges_kernel(bm25: FoldedBM25, k: int):
-    """Returns the applyInPandas kernel: candidate blocks of one
-    (query, bucket) group -> local top-k (query_id, doc_id, score)."""
+def _bucket_kernel(bm25: FoldedBM25, k: int):
+    """applyInPandas kernel: one bucket's candidate blocks (distinct
+    (token, block) rows, each carrying the query_ids that want it) ->
+    local top-k (query_id, doc_id, score) for every query."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
-        qid = int(pdf["query_id"].iloc[0])
 
-        # upper bound per doc range = sum of block maxima in the range
-        ub = pdf.groupby("block_id")["max_impact"].sum().sort_values(ascending=False)
+        blobs = pdf["blob"].to_numpy(dtype=object)
+        nds = pdf["ndocs"].to_numpy(dtype=np.float64)
+        toks = pdf["token"].to_numpy(dtype=object)
+        bids = pdf["block_id"].to_numpy(dtype=np.int64)
+        maximp = pdf["max_impact"].to_numpy(dtype=np.float64)
 
-        top_docs = np.empty(0, dtype=np.int64)
-        top_scores = np.empty(0, dtype=np.float64)
-        theta = -np.inf
+        decoded: dict[int, tuple] = {}
 
-        by_block = pdf.groupby("block_id", sort=False)
-        for block_id, bound in ub.items():
-            if len(top_docs) >= k and bound < theta:
-                break  # every remaining range is bounded lower — skip (BMW prune)
-            rows = by_block.get_group(block_id)
-            # deterministic per-doc summation order: sort terms by token
-            rows = rows.sort_values("token", kind="mergesort")
-            docs_l, scores_l = [], []
-            for blob, nd in zip(rows["blob"], rows["ndocs"]):
-                d, tf, dl = decode_block(bytes(blob))
-                docs_l.append(d.astype(np.int64))
-                scores_l.append(tokenscore_np(bm25, np.full(len(d), float(nd)), dl, tf))
-            docs = np.concatenate(docs_l)
-            scores = np.concatenate(scores_l)
-            # complete within-range scores: stable group-sum keyed by doc
-            order = np.argsort(docs, kind="mergesort")
-            docs, scores = docs[order], scores[order]
-            uniq, inv = np.unique(docs, return_inverse=True)
-            sums = np.zeros(len(uniq))
-            np.add.at(sums, inv, scores)
+        def get(i: int):
+            hit = decoded.get(i)
+            if hit is None:
+                d, tf, dl = decode_block(bytes(blobs[i]))
+                hit = (
+                    d.astype(np.int64),
+                    tokenscore_np(bm25, np.full(len(d), nds[i]), dl, tf),
+                )
+                decoded[i] = hit
+            return hit
 
-            top_docs = np.concatenate([top_docs, uniq])
-            top_scores = np.concatenate([top_scores, sums])
-            if len(top_docs) > k:
-                # keep local top-k: sort by (-score, doc) and truncate
-                sel = np.lexsort((top_docs, -top_scores))[:k]
-                top_docs, top_scores = top_docs[sel], top_scores[sel]
-            if len(top_docs) >= k:
-                theta = top_scores.min()
+        # invert the per-row query lists -> per-query row lists
+        per_q: dict[int, list] = {}
+        for i, qids in enumerate(pdf["query_ids"]):
+            for qid in qids:
+                per_q.setdefault(int(qid), []).append(i)
+
+        out_q, out_d, out_s = [], [], []
+        for qid in sorted(per_q):
+            # deterministic per-doc summation order: terms sorted by token
+            idxs = sorted(per_q[qid], key=lambda i: toks[i])
+            by_block: dict[int, list] = {}
+            for i in idxs:
+                by_block.setdefault(int(bids[i]), []).append(i)
+            # doc ranges in descending upper bound (sum of block maxima)
+            bounds = sorted(
+                ((sum(maximp[i] for i in lst), b) for b, lst in by_block.items()),
+                reverse=True,
+            )
+
+            top_docs = np.empty(0, dtype=np.int64)
+            top_scores = np.empty(0, dtype=np.float64)
+            theta = -np.inf
+            for bound, b in bounds:
+                if len(top_docs) >= k and bound < theta:
+                    break  # every remaining range is bounded lower (BMW prune)
+                docs_l, scores_l = [], []
+                for i in by_block[b]:
+                    d, s = get(i)
+                    docs_l.append(d)
+                    scores_l.append(s)
+                docs = np.concatenate(docs_l)
+                scores = np.concatenate(scores_l)
+                # complete within-range scores: stable group-sum keyed by doc
+                order = np.argsort(docs, kind="mergesort")
+                docs, scores = docs[order], scores[order]
+                uniq, inv = np.unique(docs, return_inverse=True)
+                sums = np.zeros(len(uniq))
+                np.add.at(sums, inv, scores)
+
+                top_docs = np.concatenate([top_docs, uniq])
+                top_scores = np.concatenate([top_scores, sums])
+                if len(top_docs) > k:
+                    # keep local top-k: sort by (-score, doc) and truncate
+                    sel = np.lexsort((top_docs, -top_scores))[:k]
+                    top_docs, top_scores = top_docs[sel], top_scores[sel]
+                if len(top_docs) >= k:
+                    theta = top_scores.min()
+
+            out_q.append(np.full(len(top_docs), qid, dtype=np.int64))
+            out_d.append(top_docs)
+            out_s.append(top_scores)
 
         return pd.DataFrame({
-            "query_id": np.full(len(top_docs), qid, dtype=np.int64),
-            "doc_id": top_docs,
-            "score": top_scores,
+            "query_id": np.concatenate(out_q) if out_q else np.empty(0, dtype=np.int64),
+            "doc_id": np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64),
+            "score": np.concatenate(out_s) if out_s else np.empty(0),
         })
 
     return kernel
@@ -108,9 +154,9 @@ def search_bm25_wand(
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to search_bm25.
 
-    ``n_buckets`` controls the per-query parallelism of the scoring
-    stage (default: the session's shuffle partitions). More buckets =
-    more parallelism but weaker pruning (theta is per bucket).
+    ``n_buckets`` controls the parallelism of the scoring stage
+    (default: the session's shuffle partitions). More buckets = more
+    parallelism but weaker pruning (theta restarts per bucket).
     """
     assert index.blocks is not None, "build_posting_blocks first (or io.load_index)"
     spark = index.spark
@@ -124,11 +170,15 @@ def search_bm25_wand(
     from .search import prune_postings_by_terms
 
     blocks = prune_postings_by_terms(index.blocks, q)
-    cand = blocks.join(F.broadcast(q), "token").withColumn(
+    # token -> sorted query_id list: the blob never repeats per query
+    qagg = q.groupBy("token").agg(
+        F.sort_array(F.collect_list("query_id")).alias("query_ids")
+    )
+    cand = blocks.join(F.broadcast(qagg), "token").withColumn(
         "bucket", F.pmod(F.col("block_id"), F.lit(n_buckets))
     )
-    local = cand.groupBy("query_id", "bucket").applyInPandas(
-        _score_ranges_kernel(index.bm25, k), _OUT_SCHEMA
+    local = cand.groupBy("bucket").applyInPandas(
+        _bucket_kernel(index.bm25, k), _OUT_SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
