@@ -14,7 +14,7 @@ Stages:
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_SCALING=0 to skip the scaling runs,
-     SPARK_GRAFT_SYNTH_DOCS (default 240000).
+     SPARK_GRAFT_SYNTH_DOCS (default 480000).
 """
 
 from __future__ import annotations
@@ -75,7 +75,9 @@ def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
     meta["naive_qps"] = round(nq / timings["query_naive_512"], 1)
 
     t0 = time.time()
-    search_bm25_wand(idx, qdf, 10).count()
+    # one bucket per block (20 at sf0.1), 8 query groups -> 160 small
+    # uniform tasks; see the scaling-run comment on bucket granularity
+    search_bm25_wand(idx, qdf, 10, n_buckets=-(-n_docs // 256), query_groups=8).count()
     timings["query_wand_512"] = time.time() - t0
     meta["wand_qps"] = round(nq / timings["query_wand_512"], 1)
     spark.stop()
@@ -83,8 +85,24 @@ def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
 
 
 def _scaling_run(cpus: int, n_docs: int, n_queries: int):
-    """One parallelism level: synth corpus -> index+blocks build -> WAND
-    query batch. Returns (build_sec, query_sec)."""
+    """One parallelism level in a FRESH subprocess (own JVM: a leg that
+    reuses the previous leg's JVM inherits its heap/GC state and
+    measures slower — an order bias, not a scaling property). Returns
+    (build_sec, query_sec)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-leg",
+         str(cpus), str(n_docs), str(n_queries)],
+        capture_output=True, text=True, check=True,
+        env={**os.environ, "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "32g")},
+    )
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    return r["build_sec"], r["query_sec"]
+
+
+def _scaling_leg_main(cpus: int, n_docs: int, n_queries: int):
+    """Subprocess body for one leg; prints one JSON line."""
     from textsearch_spark.config import TextConfig
     from textsearch_spark.operators.postings import build_posting_blocks
     from textsearch_spark.operators.wand import search_bm25_wand
@@ -93,7 +111,12 @@ def _scaling_run(cpus: int, n_docs: int, n_queries: int):
     from textsearch_spark.sources.corpus import synthetic_code_corpus, with_doc_ids
 
     spark = get_spark(f"local[{cpus}]", app_name=f"bench-scaling-{cpus}",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(cpus, 8),
+                      # local mode: shuffle files hit the page cache, so
+                      # compression is pure CPU overhead (keep it on for
+                      # real clusters where shuffle crosses the network)
+                      extra_conf={"spark.shuffle.compress": "false",
+                                  "spark.shuffle.spill.compress": "false"})
     corpus = with_doc_ids(
         synthetic_code_corpus(spark, n_docs, partitions=max(cpus * 2, 64))
     ).cache()
@@ -110,12 +133,17 @@ def _scaling_run(cpus: int, n_docs: int, n_queries: int):
     qdf = _mk_queries(spark, texts, n_queries).cache()
     qdf.count()
     t0 = time.time()
-    # fixed bucket count at every parallelism level: identical logical
-    # work and pruning, so the comparison isolates the core count
-    search_bm25_wand(idx, qdf, 10, n_buckets=64).count()
+    # fixed (n_buckets, query_groups) at every parallelism level:
+    # identical logical work, so the comparison isolates the core count.
+    # One bucket per block + 4 query groups = many small uniform tasks:
+    # on this synthetic corpus every term is stop-word-dense, so
+    # block-max bounds cannot prune and fine buckets maximize balance;
+    # a Zipf-vocab corpus would use coarser buckets to engage BMW.
+    n_blocks = -(-n_docs // 4096)
+    search_bm25_wand(idx, qdf, 10, n_buckets=n_blocks, query_groups=4).count()
     query_sec = time.time() - t0
     spark.stop()
-    return build_sec, query_sec
+    print(json.dumps({"build_sec": build_sec, "query_sec": query_sec}))
 
 
 def main():
@@ -126,7 +154,7 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
-    synth_docs = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "240000"))
+    synth_docs = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "480000"))
 
     timings: dict = {}
     meta: dict = {}
@@ -135,9 +163,24 @@ def main():
     scaling: dict = {}
     if do_scaling:
         n_small = max(cpus // 4, 1)
-        nq = 2048
-        b_small, q_small = _scaling_run(n_small, synth_docs, nq)
-        b_big, q_big = _scaling_run(cpus, synth_docs, nq)
+        nq = 8192
+        # alternating runs per level, best-of-N per stage: single-host
+        # wall times swing +/-40% with background load and sustained
+        # all-core turbo decay, so the minimum is the closest estimate
+        # of true capability at each level. A cooldown before each leg
+        # lets the host return to the same thermal baseline; raw leg
+        # timings are reported so the spread is visible.
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+        cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_SEC", "30"))
+        runs: dict = {n_small: [], cpus: []}
+        for _ in range(n_runs):
+            for lvl in (n_small, cpus):
+                time.sleep(cooldown)
+                runs[lvl].append(_scaling_run(lvl, synth_docs, nq))
+        b_small = min(r[0] for r in runs[n_small])
+        q_small = min(r[1] for r in runs[n_small])
+        b_big = min(r[0] for r in runs[cpus])
+        q_big = min(r[1] for r in runs[cpus])
         timings[f"synth_build_local{n_small}"] = b_small
         timings[f"synth_build_local{cpus}"] = b_big
         timings[f"synth_query_local{n_small}"] = q_small
@@ -145,6 +188,10 @@ def main():
         scaling = {
             "n_docs": synth_docs,
             "n_queries": nq,
+            "raw_legs_sec": {
+                f"local{lvl}": [[round(b, 2), round(q, 2)] for b, q in rs]
+                for lvl, rs in runs.items()
+            },
             "build_rows_per_sec": {f"local{n_small}": round(synth_docs / b_small, 1),
                                    f"local{cpus}": round(synth_docs / b_big, 1)},
             "query_qps": {f"local{n_small}": round(nq / q_small, 1),
@@ -166,4 +213,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 5 and sys.argv[1] == "--scaling-leg":
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+        _scaling_leg_main(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+    else:
+        main()

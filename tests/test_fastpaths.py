@@ -3,7 +3,7 @@
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from textsearch_spark.config import IgnoreStopwords, TextConfig
+from textsearch_spark.config import IdentityTokenTransformation, IgnoreStopwords, TextConfig
 from textsearch_spark.functions.normalize import _normalize_slow, normalize_text
 from textsearch_spark.functions.tokenizer import _unigrams_automaton, unigrams
 
@@ -63,3 +63,19 @@ def test_fast_path_with_transformation():
     slow = []
     _unigrams_automaton(norm, slow, cfg.tt)
     assert fast_tokens == slow == ["casa", ";", "vida"]
+
+
+@given(st.text(alphabet="ab_#@.!~|<>^x0", max_size=24))
+@settings(max_examples=1000, deadline=None)
+def test_run_level_matches_automaton_punct_heavy(seg):
+    """Stress the ASCII run-level path's 3-byte punct chunking and
+    META_GLUE remainder handling against the char automaton."""
+    from textsearch_spark.functions.normalize import BLANK
+    from textsearch_spark.functions.tokenizer import _unigrams_runs_ascii
+
+    tt = IdentityTokenTransformation()
+    a, b = [], []
+    _unigrams_automaton(BLANK + seg + BLANK, a, tt)
+    if seg:
+        _unigrams_runs_ascii(seg, b, tt.transform_unigram)
+    assert a == b

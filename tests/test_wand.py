@@ -61,6 +61,10 @@ def test_wand_differential_sf0001(spark):
     naive = search_bm25(idx, qdf, k=10).collect()
     wand = search_bm25_wand(idx, qdf, k=10, n_buckets=4).collect()
     _assert_rank_identical(naive, wand)
+    # query_groups only partitions the batch across tasks — results
+    # must be identical for any (n_buckets, query_groups) combination
+    wand_qg = search_bm25_wand(idx, qdf, k=10, n_buckets=3, query_groups=5).collect()
+    _assert_rank_identical(naive, wand_qg)
     assert naive  # sanity: non-empty
 
 

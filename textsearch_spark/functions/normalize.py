@@ -48,6 +48,8 @@ _EMOJI_RANGES = (
 
 def isemoji(c: str) -> bool:
     cp = ord(c)
+    if cp < 0x2600:  # below every emoji range — covers all ASCII/Latin
+        return False
     for lo, hi in _EMOJI_RANGES:
         if lo <= cp <= hi:
             return True

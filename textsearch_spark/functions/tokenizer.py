@@ -14,10 +14,17 @@ the reference's ``Threads.@threads`` corpus loop (src/tokenize.jl:92-105).
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional, Sequence, Union
 
 from ..config import Skipgram, TextConfig, TokenTransformation
 from .normalize import ASCII_PUNCT2, BLANK, isemoji, ispunct2, normalize_text
+
+# alternating punct/word runs within an ASCII segment (no blanks inside
+# a segment — unigrams() splits on BLANK first)
+_PUNCT_CLASS = "[" + re.escape("".join(sorted(ASCII_PUNCT2))) + "]"
+_SEG_RUNS = re.compile(f"{_PUNCT_CLASS}+|(?:(?!{_PUNCT_CLASS}).)+")
+_ASCII_PUNCT_SEARCH = re.compile(_PUNCT_CLASS).search
 
 _META_GLUE = ("#", "@", "_")
 
@@ -73,65 +80,139 @@ def unigrams(normtext: str, tokens: List[str], unigram_out: List[str], tt) -> No
     for seg in segments:
         if not seg:
             continue
-        if seg.isascii() and not (set(seg) & ASCII_PUNCT2):
-            if identity_tt:
-                tokens.append(seg)
+        if seg.isascii():
+            if _ASCII_PUNCT_SEARCH(seg) is None:
+                if identity_tt:
+                    tokens.append(seg)
+                else:
+                    _push_transformed(tokens, transform(seg))
             else:
-                _push_transformed(tokens, transform(seg))
+                _unigrams_runs_ascii(seg, tokens, transform)
         else:
             _unigrams_automaton(BLANK + seg, tokens, tt)
     unigram_out.extend(tokens[mfirst:])
 
 
+def _unigrams_runs_ascii(seg: str, tokens: List[str], transform) -> None:
+    """Run-level equivalent of the char automaton for ASCII, emoji-free
+    segments. A segment is an alternation of punct runs and word runs:
+
+    - a word run is always flushed as one token (with any glued punct
+      prefix) — the automaton flushes it at the next punct or at end;
+    - a punct run emits full 3-byte chunks (the ``iosize >= 3`` flush;
+      ASCII chars are 1 byte) and keeps the 1..3-char remainder pending:
+      it glues to a following word run iff it ends in ``# @ _``
+      (_META_GLUE), else it is emitted alone.
+
+    Equivalence with _unigrams_automaton is pinned by the golden tests
+    and tests/test_fastpaths.py's differential over random strings."""
+    pending = ""
+    for run in _SEG_RUNS.findall(seg):
+        if run[0] in ASCII_PUNCT2:
+            n = len(run)
+            rem = ((n - 1) % 3) + 1
+            for j in range(0, n - rem, 3):
+                _push_transformed(tokens, transform(run[j:j + 3]))
+            pending = run[n - rem:]
+        else:
+            if pending:
+                if pending[-1] in _META_GLUE:
+                    run = pending + run
+                else:
+                    _push_transformed(tokens, transform(pending))
+                pending = ""
+            _push_transformed(tokens, transform(run))
+    if pending:
+        _push_transformed(tokens, transform(pending))
+
+
+# per-char class codes, cached: the automaton's three predicates
+# (== BLANK, isemoji, ispunct2) collapse into one dict probe per char
+_C_BLANK, _C_EMOJI, _C_PUNCT, _C_OTHER = 0, 1, 2, 3
+_CLS_CACHE: dict = {}
+
+
+def _char_cls(c: str) -> int:
+    if c == BLANK:
+        v = _C_BLANK
+    elif isemoji(c):
+        v = _C_EMOJI
+    elif ispunct2(c):
+        v = _C_PUNCT
+    else:
+        v = _C_OTHER
+    _CLS_CACHE[c] = v
+    return v
+
+
+def _utf8len(c: str) -> int:
+    cp = ord(c)
+    return 1 if cp < 0x80 else 2 if cp < 0x800 else 3 if cp < 0x10000 else 4
+
+
 def _unigrams_automaton(normtext: str, tokens: List[str], tt) -> None:
     """The exact char automaton, applied to one BLANK-prefixed segment
-    (or a whole normalized text)."""
+    (or a whole normalized text). Branches mirror src/tokenize.jl:234-276;
+    ``iosize`` is the UTF-8 byte size of the buffer (the reference checks
+    ``buff.io.size``, i.e. bytes, not chars)."""
+    transform = tt.transform_unigram
+    cls_cache = _CLS_CACHE
     io: List[str] = []
-    iosize = 0  # UTF-8 byte size of io, mirrors buff.io.size
+    iosize = 0
+    prev = normtext[0]
+    pcls = cls_cache.get(prev)
+    if pcls is None:
+        pcls = _char_cls(prev)
 
-    def flush():
-        nonlocal io, iosize
-        if iosize == 0:
-            return
-        s = "".join(io)
-        io = []
-        iosize = 0
-        _push_transformed(tokens, tt.transform_unigram(s))
-
-    def push(c: str):
-        nonlocal iosize
-        io.append(c)
-        iosize += len(c.encode("utf-8"))
-
-    n = len(normtext)
-    for i in range(1, n):
+    for i in range(1, len(normtext)):
         c = normtext[i]
-        p = normtext[i - 1]
-        if c == BLANK:
-            flush()
-        elif isemoji(c):
-            flush()
-            push(c)
-            flush()
-        elif ispunct2(p):
-            if ispunct2(c):
+        ccls = cls_cache.get(c)
+        if ccls is None:
+            ccls = _char_cls(c)
+
+        if ccls == _C_BLANK:
+            if iosize:
+                _push_transformed(tokens, transform("".join(io)))
+                io = []
+                iosize = 0
+        elif ccls == _C_EMOJI:
+            if iosize:
+                _push_transformed(tokens, transform("".join(io)))
+                io = []
+            _push_transformed(tokens, transform(c))
+            iosize = 0
+        elif pcls == _C_PUNCT:
+            if ccls == _C_PUNCT:
                 # inside a punctuation run; flush when it grows large
                 if iosize >= 3:
-                    flush()
-                push(c)
+                    _push_transformed(tokens, transform("".join(io)))
+                    io = []
+                    iosize = 0
             else:
                 # run ends; keep meta-word prefixes glued
-                if p not in _META_GLUE:
-                    flush()
-                push(c)
-        elif ispunct2(c) and p != BLANK:
+                if prev not in _META_GLUE and iosize:
+                    _push_transformed(tokens, transform("".join(io)))
+                    io = []
+                    iosize = 0
+            io.append(c)
+            iosize += _utf8len(c)
+        elif ccls == _C_PUNCT and pcls != _C_BLANK:
             # single punctuation starting after a word char
-            flush()
-            push(c)
+            if iosize:
+                _push_transformed(tokens, transform("".join(io)))
+                io = []
+                iosize = 0
+            io.append(c)
+            iosize += _utf8len(c)
         else:
-            push(c)
+            io.append(c)
+            iosize += _utf8len(c)
 
-    flush()
+        prev = c
+        pcls = ccls
+
+    if iosize:
+        _push_transformed(tokens, transform("".join(io)))
 
 
 def nwords(q: int, unigrams_list: Sequence[str], tokens: List[str], tt, mark: bool) -> None:

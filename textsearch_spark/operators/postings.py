@@ -74,5 +74,6 @@ def build_posting_blocks(postings: DataFrame, *, span: int = DEFAULT_BLOCK_SPAN)
     )
     return agg.select(
         "token", "block_id", "n", "first_doc", "last_doc", "ndocs", "max_impact",
+        F.lit(span).alias("span"),
         _encode_entries(F.col("entries")).alias("blob"),
     )

@@ -68,6 +68,7 @@ def _bucket_kernel(bm25: FoldedBM25, k: int):
         toks = pdf["token"].to_numpy(dtype=object)
         bids = pdf["block_id"].to_numpy(dtype=np.int64)
         maximp = pdf["max_impact"].to_numpy(dtype=np.float64)
+        span = int(pdf["span"].iloc[0])
 
         decoded: dict[int, tuple] = {}
 
@@ -75,10 +76,9 @@ def _bucket_kernel(bm25: FoldedBM25, k: int):
             hit = decoded.get(i)
             if hit is None:
                 d, tf, dl = decode_block(bytes(blobs[i]))
-                hit = (
-                    d.astype(np.int64),
-                    tokenscore_np(bm25, np.full(len(d), nds[i]), dl, tf),
-                )
+                # offsets within the block's aligned doc range
+                off = d.astype(np.int64) - int(bids[i]) * span
+                hit = (off, tokenscore_np(bm25, np.full(len(d), nds[i]), dl, tf))
                 decoded[i] = hit
             return hit
 
@@ -88,10 +88,23 @@ def _bucket_kernel(bm25: FoldedBM25, k: int):
             for qid in qids:
                 per_q.setdefault(int(qid), []).append(i)
 
-        out_q, out_d, out_s = [], [], []
+        # batch dedup: queries with the same in-vocab term set have the
+        # same result — score each distinct set once and fan out. With
+        # skewed real-world query logs (and small vocabularies) this
+        # collapses a large fraction of the per-query work.
+        by_sig: dict[tuple, list] = {}
         for qid in sorted(per_q):
-            # deterministic per-doc summation order: terms sorted by token
-            idxs = sorted(per_q[qid], key=lambda i: toks[i])
+            sig = tuple(sorted(per_q[qid], key=lambda i: toks[i]))
+            by_sig.setdefault(sig, []).append(qid)
+
+        # span-sized dense accumulator, reused across (query, range):
+        # doc ids inside one term block are unique, so scoring a range is
+        # plain fancy-indexed adds — no sort/unique/add.at anywhere
+        dense = np.zeros(span)
+
+        out_q, out_d, out_s = [], [], []
+        for idxs, qids in by_sig.items():
+            # idxs are already in token order (deterministic summation)
             by_block: dict[int, list] = {}
             for i in idxs:
                 by_block.setdefault(int(bids[i]), []).append(i)
@@ -107,32 +120,47 @@ def _bucket_kernel(bm25: FoldedBM25, k: int):
             for bound, b in bounds:
                 if len(top_docs) >= k and bound < theta:
                     break  # every remaining range is bounded lower (BMW prune)
-                docs_l, scores_l = [], []
-                for i in by_block[b]:
-                    d, s = get(i)
-                    docs_l.append(d)
-                    scores_l.append(s)
-                docs = np.concatenate(docs_l)
-                scores = np.concatenate(scores_l)
-                # complete within-range scores: stable group-sum keyed by doc
-                order = np.argsort(docs, kind="mergesort")
-                docs, scores = docs[order], scores[order]
-                uniq, inv = np.unique(docs, return_inverse=True)
-                sums = np.zeros(len(uniq))
-                np.add.at(sums, inv, scores)
+                rows = by_block[b]
+                if len(rows) == 1:
+                    # single term: its posting list IS the (doc, score) set
+                    off, scores = get(rows[0])
+                    docs = off + b * span
+                else:
+                    for i in rows:
+                        off, s = get(i)
+                        dense[off] += s
+                    touched = np.flatnonzero(dense)
+                    scores = dense[touched].copy()
+                    dense[touched] = 0.0
+                    docs = touched + b * span
 
-                top_docs = np.concatenate([top_docs, uniq])
-                top_scores = np.concatenate([top_scores, sums])
-                if len(top_docs) > k:
-                    # keep local top-k: sort by (-score, doc) and truncate
-                    sel = np.lexsort((top_docs, -top_scores))[:k]
-                    top_docs, top_scores = top_docs[sel], top_scores[sel]
+                if len(top_docs):
+                    docs = np.concatenate([top_docs, docs])
+                    scores = np.concatenate([top_scores, scores])
+                if len(docs) > k:
+                    # O(n) top-k by (-score, doc asc) — argpartition for
+                    # the score threshold, doc-ordered tie-break at the
+                    # boundary (rank-identical to a full lexsort+trim)
+                    neg = -scores
+                    kth = np.partition(neg, k - 1)[k - 1]
+                    strict = np.flatnonzero(neg < kth)
+                    need = k - len(strict)
+                    ties = np.flatnonzero(neg == kth)
+                    if need <= 0:
+                        ties = ties[:0]
+                    elif len(ties) > need:
+                        tdocs = docs[ties]
+                        ties = ties[np.argpartition(tdocs, need - 1)[:need]]
+                    sel = np.concatenate([strict, ties])
+                    docs, scores = docs[sel], scores[sel]
+                top_docs, top_scores = docs, scores
                 if len(top_docs) >= k:
                     theta = top_scores.min()
 
-            out_q.append(np.full(len(top_docs), qid, dtype=np.int64))
-            out_d.append(top_docs)
-            out_s.append(top_scores)
+            for qid in qids:
+                out_q.append(np.full(len(top_docs), qid, dtype=np.int64))
+                out_d.append(top_docs)
+                out_s.append(top_scores)
 
         return pd.DataFrame({
             "query_id": np.concatenate(out_q) if out_q else np.empty(0, dtype=np.int64),
@@ -151,12 +179,28 @@ def search_bm25_wand(
     query_col: str = "qtext",
     id_col: str = "query_id",
     n_buckets: Optional[int] = None,
+    query_groups: int = 1,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to search_bm25.
 
-    ``n_buckets`` controls the parallelism of the scoring stage
-    (default: the session's shuffle partitions). More buckets = more
-    parallelism but weaker pruning (theta restarts per bucket).
+    Two independent knobs shape the scoring stage:
+
+    - ``n_buckets`` — how many doc-range buckets the block space folds
+      into. FEWER buckets = more ranges per bucket = deeper BMW pruning
+      (theta carries across more ranges), but coarser tasks. Default:
+      the session's shuffle partitions.
+    - ``query_groups`` — splits the query batch into groups hashed by
+      query_id; the scoring stage groups by (bucket, query_group), so
+      parallelism is ``n_buckets * query_groups`` WITHOUT touching
+      pruning depth (each group still sees its bucket's full range
+      set). Per-query work is independent of this knob, which is what
+      keeps N-vs-4N scaling comparisons honest; the cost of higher
+      values is that each query group re-ships and re-decodes its
+      bucket's blobs.
+
+    For large batches over modest block counts (the common shape), pick
+    n_buckets so each bucket holds >= ~8 ranges and raise query_groups
+    for parallelism.
     """
     assert index.blocks is not None, "build_posting_blocks first (or io.load_index)"
     spark = index.spark
@@ -170,14 +214,17 @@ def search_bm25_wand(
     from .search import prune_postings_by_terms
 
     blocks = prune_postings_by_terms(index.blocks, q)
-    # token -> sorted query_id list: the blob never repeats per query
-    qagg = q.groupBy("token").agg(
+    # (token, query_group) -> sorted query_id list: a blob crosses the
+    # wire once per query GROUP, never per query
+    qagg = q.withColumn(
+        "qgrp", F.pmod(F.col("query_id"), F.lit(query_groups))
+    ).groupBy("token", "qgrp").agg(
         F.sort_array(F.collect_list("query_id")).alias("query_ids")
     )
     cand = blocks.join(F.broadcast(qagg), "token").withColumn(
         "bucket", F.pmod(F.col("block_id"), F.lit(n_buckets))
     )
-    local = cand.groupBy("bucket").applyInPandas(
+    local = cand.groupBy("bucket", "qgrp").applyInPandas(
         _bucket_kernel(index.bm25, k), _OUT_SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))

@@ -144,6 +144,7 @@ def filter_lists(
     list_max_allowed_length: int = 1024,
     doc_min_freq: int = 1,
     doc_max_freq: int = 128,
+    salt_buckets: int = 32,
 ) -> BM25Index:
     """Posting-list pruning (reference: filter_lists!,
     src/bm25invfile.jl:77-116, defaults :79-83).
@@ -158,10 +159,14 @@ def filter_lists(
     is intentionally *not* recomputed — the reference prunes only the
     adjacency lists and keeps fit-time statistics.
 
-    Expressed as a classic Spark top-k-per-group. The window partitions
-    by token; only lists that passed the length check reach it, and
-    their post-filter length is bounded, so the skewed giant lists are
-    exactly the ones that get cut.
+    Expressed as a salted two-phase top-k-per-group: phase 1 keeps each
+    (token, salt) partition's local top ``list_max_allowed_length`` (the
+    global top-k is a subset of the union of local top-ks), phase 2
+    ranks the bounded survivors. No single task ever holds a hot term's
+    full list — the worst-case final-window partition is
+    ``salt_buckets * list_max_allowed_length`` rows regardless of how
+    many documents contain the term (the north rule's stop-word skew
+    guard).
     """
     from pyspark.sql.window import Window
 
@@ -172,10 +177,15 @@ def filter_lists(
         p.filter(F.col("ndocs") >= list_min_length_for_checking)
         .filter((F.col("tf") >= doc_min_freq) & (F.col("tf") <= doc_max_freq))
     )
-    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    order = (F.desc("tf"), F.asc("doc_id"))
+    w_local = Window.partitionBy("token", "__salt").orderBy(*order)
+    w_final = Window.partitionBy("token").orderBy(*order)
     pruned = (
-        long_f.withColumn("__rn", F.row_number().over(w))
+        long_f.withColumn("__salt", F.pmod(F.col("doc_id"), F.lit(salt_buckets)))
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= list_max_allowed_length)
+        .withColumn("__rn", F.row_number().over(w_final))
         .filter(F.col("__rn") <= list_max_allowed_length)
-        .drop("__rn")
+        .drop("__salt", "__lrn", "__rn")
     )
     return replace(index, postings=short.unionByName(pruned), blocks=None)
