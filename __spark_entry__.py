@@ -40,6 +40,17 @@ TOP_K = 10
 # typo-lookup fixture for the approx-vocabulary operator
 APPROX_QUERY_TOKENS = ["table", "tabel", "shufle", "custmer", "zzzzzz"]
 
+# misspelled query batch for the typo-tolerant BM25 path: each resolves
+# through QgramsLookup-as-token2id before scoring
+TYPO_QUERY_SET = [
+    (1, "tabel scan fasst"),
+    (2, "grup agg key hash"),
+    (3, "spark shufle partion join"),
+    (4, "window ordr line data"),
+    (5, "custmer order part supplier"),
+    (6, "zzz qqqqqq"),
+]
+
 _INDEX_CACHE: dict = {}
 
 
@@ -97,13 +108,13 @@ def _query_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(QUERY_SET, "query_id long, qtext string")
 
 
-def _query_values_sql() -> str:
+def _query_values_sql(query_set=None) -> str:
     """Distinct (query_id, token) literals for the oracle — tokenized
     with the engine's own (pure-Python) tokenizer."""
     from textsearch_spark.functions.tokenizer import tokenize
 
     pairs = []
-    for qid, qtext in QUERY_SET:
+    for qid, qtext in (query_set or QUERY_SET):
         for tok in sorted(set(tokenize(_cfg(), qtext))):
             pairs.append(f"({qid}, '{tok}')")
     return ", ".join(pairs)
@@ -551,6 +562,79 @@ def q_dvec_distances(spark, sf_dir):
     return cd.join(ad, ["a_id", "b_id"])
 
 
+def q_dvec_algebra(spark, sf_dir):
+    """Full DVEC algebra over the tf-idf vectors of docs 0..9
+    (reference: src/dvec.jl:17-47,98-115,246-308): per-doc l1norm, nnz,
+    findmax/findmin, elementwise sub/mul against the partner vector
+    (doc_id XOR 1), scalar multiply, and L1 normalization."""
+    from textsearch_spark.functions.weighting import fit_vector_model, vectorize
+    from textsearch_spark.operators import dvec as dv
+
+    docs = _docs(spark, sf_dir).filter("doc_id < 10")
+    model = fit_vector_model(docs, _cfg(), local_weighting="tf", global_weighting="idf")
+    vecs = vectorize(model, docs).cache()
+
+    l1 = dv.l1norm(vecs).select("doc_id", F.round("l1norm", 4).alias("l1norm4"))
+    nz = dv.nnz(vecs)
+    ex = dv.vec_extrema(vecs).select(
+        "doc_id", F.round("max_weight", 4).alias("max_w4"), "argmax_token",
+        F.round("min_weight", 4).alias("min_w4"), "argmin_token",
+    )
+    # partner table: the involution doc_id -> doc_id XOR 1 re-keys each
+    # vector under its partner's id, so sub/mul join per (doc, token)
+    partner = vecs.withColumn("doc_id", F.expr("CAST(doc_id ^ 1 AS LONG)"))
+    sub_ss = (
+        dv.sub(vecs, partner)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("weight") * F.col("weight")), 4).alias("sub_ss4"))
+    )
+    mul_dot = (
+        dv.mul(vecs, partner)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("weight"), 4).alias("mul_dot4"))
+    )
+    smul_l1 = dv.l1norm(dv.scalar_mul(vecs, 2.5)).select(
+        "doc_id", F.round("l1norm", 4).alias("smul_l14")
+    )
+    l1n_max = dv.vec_extrema(dv.l1_normalize(vecs)).select(
+        "doc_id", F.round("max_weight", 4).alias("l1n_max4")
+    )
+    return (
+        l1.join(nz, "doc_id").join(ex, "doc_id").join(sub_ss, "doc_id")
+        .join(mul_dot, "doc_id").join(smul_l1, "doc_id").join(l1n_max, "doc_id")
+    )
+
+
+def q_entropy_combiners(spark, sf_dir):
+    """PenalizeFewSamples and SigmoidPenalizeFewSamples combiners with
+    lowerweight below mindocs (src/emodel.jl:12-22)."""
+    from textsearch_spark.functions.weighting import fit_vector_model
+
+    docs = _docs(spark, sf_dir)
+    kw = dict(local_weighting="binary", global_weighting="entropy",
+              label_col="source", smooth=0, mindocs=2, lowerweight=0.25)
+    pen = fit_vector_model(docs, _cfg(), comb="penalize_few_samples", **kw)
+    sig = fit_vector_model(docs, _cfg(), comb="sigmoid_penalize_few_samples", **kw)
+    p = pen.vocab.select(
+        "token", F.col("occs").cast("long").alias("occs"),
+        F.col("ndocs").cast("long").alias("ndocs"),
+        F.round("gweight", 4).alias("gw_pen4"),
+    )
+    s = sig.vocab.select("token", F.round("gweight", 4).alias("gw_sig4"))
+    return p.join(s, "token")
+
+
+def q_bm25_topk_typo(spark, sf_dir):
+    """BM25 with QgramsLookup-as-token2id: misspelled query terms
+    resolve to their nearest vocabulary token before scoring
+    (src/approxvoc.jl:46-57 wired into the query path)."""
+    from textsearch_spark.operators.search import search_bm25
+
+    qdf = spark.createDataFrame(TYPO_QUERY_SET, "query_id long, qtext string")
+    res = search_bm25(_index(spark, sf_dir), qdf, TOP_K, typo_tolerant=True)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 4).alias("score4"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_unigrams": q_vocab,
@@ -596,6 +680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "vocab_thesaurus": q_vocab_thesaurus,
         "dvec_distances": q_dvec_distances,
+        "dvec_algebra": q_dvec_algebra,
+        "entropy_model_combiners": q_entropy_combiners,
+        "bm25_topk_typo": q_bm25_topk_typo,
     }
 
 
@@ -624,6 +711,76 @@ stats AS (
          (SELECT sum(tf) FROM bow)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
 ),
 q(query_id, token) AS (SELECT * FROM (VALUES {_query_values_sql()})),
+scored AS (
+  SELECT q.query_id, b.doc_id,
+         sum( ln(1.0 + (s.n_docs - v.ndocs + 0.5)/(v.ndocs + 0.5))
+              * ( b.tf * (1.2 + 1.0)
+                  / (b.tf + 1.2 * (1.0 - 0.75) + d.doclen * (1.2 * 0.75 / s.avgdl))
+                  + 1.0) ) AS score
+  FROM q
+  JOIN bow b USING (token)
+  JOIN voc v USING (token)
+  JOIN dl d ON b.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, b.doc_id
+)
+SELECT query_id, rank, doc_id, round(score, 4) AS score4 FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def _bm25_typo_sql() -> str:
+    """Typo-tolerant BM25: QgramsLookup resolution (the approx_vocab
+    oracle's CTE shape) feeding the standard scoring body."""
+    return f"""
+WITH bow AS ({_BOW}),
+voc AS ({_VOC}),
+dl AS ({_DL}),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+         (SELECT sum(tf) FROM bow)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+qraw(query_id, qtoken) AS (SELECT * FROM (VALUES {_query_values_sql(TYPO_QUERY_SET)})),
+vg AS (
+  SELECT DISTINCT token AS vtoken, substr(' ' || token || ' ', i, 3) AS gram
+  FROM (SELECT token, unnest(generate_series(1, length(token))) AS i FROM voc)
+),
+keep AS (
+  SELECT gram FROM (SELECT gram, count(*) AS gdf FROM vg GROUP BY gram)
+  WHERE gdf >= 1 AND gdf <= 0.4 * (SELECT count(*) FROM voc)
+),
+vg2 AS (SELECT * FROM vg JOIN keep USING (gram)),
+vsz AS (SELECT vtoken, count(*) AS vsz FROM vg2 GROUP BY vtoken),
+qt AS (SELECT DISTINCT qtoken FROM qraw),
+qg AS (
+  SELECT DISTINCT qtoken, substr(' ' || qtoken || ' ', i, 3) AS gram
+  FROM (SELECT qtoken, unnest(generate_series(1, length(qtoken))) AS i FROM qt)
+),
+qg2 AS (SELECT * FROM qg JOIN keep USING (gram)),
+qsz AS (SELECT qtoken, count(*) AS qsz FROM qg2 GROUP BY qtoken),
+dist AS (
+  SELECT qtoken, vtoken,
+         1.0 - count(*)::DOUBLE / (any_value(qsz) + any_value(vsz) - count(*)) AS dist
+  FROM qg2 JOIN vg2 USING (gram) JOIN qsz USING (qtoken) JOIN vsz USING (vtoken)
+  GROUP BY qtoken, vtoken
+),
+best AS (
+  SELECT qtoken, vtoken, dist,
+         row_number() OVER (PARTITION BY qtoken ORDER BY dist ASC, vtoken ASC) AS rn
+  FROM dist
+),
+resolved AS (
+  SELECT q.qtoken, v.token AS mtoken FROM qt q JOIN voc v ON q.qtoken = v.token
+  UNION ALL
+  SELECT b.qtoken, b.vtoken AS mtoken FROM best b
+  WHERE b.rn = 1 AND b.dist <= 0.7
+    AND b.qtoken NOT IN (SELECT token FROM voc)
+),
+q AS (SELECT DISTINCT qraw.query_id, r.mtoken AS token
+      FROM qraw JOIN resolved r USING (qtoken)),
 scored AS (
   SELECT q.query_id, b.doc_id,
          sum( ln(1.0 + (s.n_docs - v.ndocs + 0.5)/(v.ndocs + 0.5))
@@ -870,6 +1027,86 @@ SELECT vec_a, vec_b, round(cos, 4) AS cos4 FROM s WHERE cos >= 0.3
         "vocab_thesaurus": "SELECT * FROM (VALUES "
         + ", ".join(f"('{t}', 1::BIGINT, 1::BIGINT)" for t in THESAURUS_TOKENS)
         + ") t(token, occs, ndocs)",
+        "dvec_algebra": f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents WHERE doc_id < 10),
+bow AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+voc AS (SELECT token, count(*) AS ndocs FROM bow GROUP BY token),
+w AS (
+  SELECT b.doc_id, b.token,
+         (b.tf::DOUBLE / max(b.tf) OVER (PARTITION BY b.doc_id))
+           * log2((0.5 + 10.0) / (0.5 + v.ndocs)) AS w
+  FROM bow b JOIN voc v USING (token)
+),
+docvec AS (
+  SELECT doc_id, token, w / sqrt(sum(w*w) OVER (PARTITION BY doc_id)) AS wt
+  FROM w WHERE w >= 1e-6
+),
+l1 AS (SELECT doc_id, sum(abs(wt)) AS l1 FROM docvec GROUP BY doc_id),
+nz AS (SELECT doc_id, count(*)::BIGINT AS nnz FROM docvec GROUP BY doc_id),
+mx AS (SELECT doc_id, wt AS maxw, token AS maxt FROM (
+  SELECT doc_id, wt, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, token DESC) AS rn
+  FROM docvec) WHERE rn = 1),
+mn AS (SELECT doc_id, wt AS minw, token AS mint FROM (
+  SELECT doc_id, wt, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY wt ASC, token ASC) AS rn
+  FROM docvec) WHERE rn = 1),
+p AS (SELECT xor(doc_id, 1) AS doc_id, token, wt FROM docvec),
+subssq AS (
+  SELECT doc_id,
+         sum((coalesce(a_wt, 0.0) - coalesce(p_wt, 0.0))
+             * (coalesce(a_wt, 0.0) - coalesce(p_wt, 0.0))) AS sub_ss
+  FROM (SELECT doc_id, token, a.wt AS a_wt, p.wt AS p_wt
+        FROM docvec a FULL JOIN p USING (doc_id, token))
+  GROUP BY doc_id
+),
+muldot AS (
+  SELECT doc_id, sum(a.wt * p.wt) AS mul_dot
+  FROM docvec a JOIN p USING (doc_id, token) GROUP BY doc_id
+),
+smul AS (SELECT doc_id, sum(abs(wt * 2.5)) AS smul_l1 FROM docvec GROUP BY doc_id),
+l1n AS (SELECT doc_id, max(w2) AS l1n_max FROM (
+  SELECT doc_id, wt / sum(abs(wt)) OVER (PARTITION BY doc_id) AS w2 FROM docvec
+) GROUP BY doc_id)
+SELECT l1.doc_id, round(l1.l1, 4) AS l1norm4, nz.nnz,
+       round(mx.maxw, 4) AS max_w4, mx.maxt AS argmax_token,
+       round(mn.minw, 4) AS min_w4, mn.mint AS argmin_token,
+       round(subssq.sub_ss, 4) AS sub_ss4,
+       round(muldot.mul_dot, 4) AS mul_dot4,
+       round(smul.smul_l1, 4) AS smul_l14,
+       round(l1n.l1n_max, 4) AS l1n_max4
+FROM l1 JOIN nz USING (doc_id) JOIN mx USING (doc_id) JOIN mn USING (doc_id)
+JOIN subssq USING (doc_id) JOIN muldot USING (doc_id) JOIN smul USING (doc_id)
+JOIN l1n USING (doc_id)
+""",
+        "entropy_model_combiners": f"""
+WITH bow AS ({_BOW}),
+voc AS ({_VOC}),
+lab AS (SELECT doc_id, source AS label FROM documents),
+cnt AS (
+  SELECT b.token, l.label, count(*)::DOUBLE AS c
+  FROM (SELECT DISTINCT doc_id, token FROM bow) b JOIN lab l USING (doc_id)
+  GROUP BY b.token, l.label
+),
+wtot AS (SELECT label, sum(c) AS w FROM cnt GROUP BY label),
+wbal AS (SELECT label, (SELECT sum(w) FROM wtot) / w AS cw FROM wtot),
+d AS (SELECT token, c * cw AS d FROM cnt JOIN wbal USING (label)),
+tot AS (SELECT token, sum(d) AS s FROM d GROUP BY token),
+ent AS (
+  SELECT d.token, sum(-(d.d / t.s) * log2(d.d / t.s)) AS h
+  FROM d JOIN tot t USING (token) WHERE d.d > 0 GROUP BY d.token
+),
+maxent AS (SELECT log2(count(DISTINCT label)) AS m FROM lab)
+SELECT v.token, v.occs, v.ndocs,
+       round(CASE WHEN v.ndocs < 2 THEN 0.25
+             ELSE ((SELECT m FROM maxent) - e.h) * log2(v.ndocs) END, 4) AS gw_pen4,
+       round(CASE WHEN v.ndocs < 2 THEN 0.25
+             ELSE (1.0 - e.h / (SELECT m FROM maxent))
+                  * (1.0 - 1.0 / (1.0 + log2(v.ndocs))) END, 4) AS gw_sig4
+FROM voc v JOIN ent e USING (token)
+""",
+        "bm25_topk_typo": _bm25_typo_sql(),
         "dvec_distances": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
              FROM documents WHERE doc_id < 10),
@@ -983,17 +1220,31 @@ seeds AS (SELECT unnest(generate_series(0, 7))::BIGINT AS seed)
 SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
 FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
 """,
+        # candidate generation excludes hot shingles (df > ceiling =
+        # max(2, int(0.2 * n_docs)), dedup.ngram_jaccard_pairs); the
+        # Jaccard itself still uses the full shingle sets
         "ngram_jaccard_pairs": f"""
 WITH sh AS ({_shingle_sql(3)}),
+ceil_ AS (SELECT greatest(2, (0.2 * (SELECT count(DISTINCT doc_id) FROM documents))::INT) AS c),
+rare AS (
+  SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+  WHERE df <= (SELECT c FROM ceil_)
+),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
 sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 ),
 j AS (
   SELECT doc_a, doc_b, inter::DOUBLE / (sa.sz + sb.sz - inter) AS jac
-  FROM pairs JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
 )
 SELECT doc_a, doc_b, round(jac, 4) AS jaccard4 FROM j WHERE jac >= 0.18
 """,

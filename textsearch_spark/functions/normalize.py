@@ -28,32 +28,19 @@ RE_NUM = re.compile(r"[-+]?(\d+\.?\d*)|(\.\d+)", re.ASCII)
 # a space instead of deleting (all other Cc chars are removed).
 _CC_TO_SPACE = frozenset("\t\n\x0b\x0c\r\x85")
 
-# Emoji predicate: the reference uses a fixed table (src/emojis.txt via
-# src/normalize.jl:15,21-23).  We use the public Unicode emoji block
-# ranges instead of that table; none of the reference golden tests
-# exercise emoji chars, and the blocks cover the practical set.
-_EMOJI_RANGES = (
-    (0x1F300, 0x1F5FF),  # Misc Symbols and Pictographs
-    (0x1F600, 0x1F64F),  # Emoticons
-    (0x1F680, 0x1F6FF),  # Transport and Map
-    (0x1F900, 0x1F9FF),  # Supplemental Symbols and Pictographs
-    (0x1FA70, 0x1FAFF),  # Symbols and Pictographs Extended-A
-    (0x2600, 0x26FF),    # Misc symbols
-    (0x2700, 0x27BF),    # Dingbats
-    (0x1F1E6, 0x1F1FF),  # Regional indicators
-    (0x2B00, 0x2BFF),    # Misc Symbols and Arrows (subset incl. stars)
-    (0x1F000, 0x1F0FF),  # Mahjong / dominoes / cards
-)
+# Emoji predicate: the same fixed character set as the reference
+# (src/emojis.txt loaded by src/normalize.jl:15 — `EMOJIS = Set(l[1] for
+# l in lines)`, i.e. the distinct LEADING codepoint of each table row).
+# emoji_data.py ships that derived codepoint set as an importable module
+# (the source table is MIT-licensed public data).
+from .emoji_data import CODEPOINTS as _EMOJI_SET
+
+_EMOJI_MIN = min(_EMOJI_SET)  # 0xA9 — everything below (all ASCII) is fast-rejected
 
 
 def isemoji(c: str) -> bool:
     cp = ord(c)
-    if cp < 0x2600:  # below every emoji range — covers all ASCII/Latin
-        return False
-    for lo, hi in _EMOJI_RANGES:
-        if lo <= cp <= hi:
-            return True
-    return False
+    return cp >= _EMOJI_MIN and cp in _EMOJI_SET
 
 
 # Punctuation predicates.  Julia's ispunct == Unicode general category

@@ -155,6 +155,8 @@ def _unigrams_automaton(normtext: str, tokens: List[str], tt) -> None:
     (or a whole normalized text). Branches mirror src/tokenize.jl:234-276;
     ``iosize`` is the UTF-8 byte size of the buffer (the reference checks
     ``buff.io.size``, i.e. bytes, not chars)."""
+    if not normtext:
+        return
     transform = tt.transform_unigram
     cls_cache = _CLS_CACHE
     io: List[str] = []

@@ -72,9 +72,15 @@ def fit_vector_model(
     smooth: float = 3.0,
     mindocs: int = 3,
     class_weights: str = "balance",
+    comb: str = "normalized_entropy",
+    lowerweight: float = 0.0,
 ) -> VectorModel:
     """Fit vocabulary + global weights (reference: VectorModel
     constructor src/vmodel.jl:96-110; entropy variant src/emodel.jl:51-81).
+
+    ``comb`` selects the entropy CombineWeighting (src/emodel.jl:6-16);
+    ``lowerweight`` is the weight assigned below ``mindocs``
+    (src/emodel.jl:19-22 docstring parameter; reference default 0.0).
     """
     assert local_weighting in LOCAL_WEIGHTINGS
     assert global_weighting in GLOBAL_WEIGHTINGS
@@ -91,6 +97,7 @@ def fit_vector_model(
             bow.withColumnRenamed(doc_col, "doc_id") if doc_col != "doc_id" else bow,
             vocab, labels.withColumnRenamed(doc_col, "doc_id") if doc_col != "doc_id" else labels,
             smooth=smooth, mindocs=mindocs, class_weights=class_weights,
+            comb=comb, lowerweight=lowerweight,
         )
     else:
         vocab = vocab.withColumn("gweight", _global_weight_col(global_weighting, corpuslen))
@@ -100,15 +107,29 @@ def fit_vector_model(
     return VectorModel(cfg, local_weighting, global_weighting, vocab, corpuslen, int(maxoccs))
 
 
+ENTROPY_COMBINERS = (
+    "normalized_entropy", "penalize_few_samples", "sigmoid_penalize_few_samples",
+)
+
+
 def _entropy_weights(bow: DataFrame, vocab: DataFrame, labels: DataFrame, *,
-                     smooth: float, mindocs: int, class_weights: str) -> DataFrame:
+                     smooth: float, mindocs: int, class_weights: str,
+                     comb: str = "normalized_entropy",
+                     lowerweight: float = 0.0) -> DataFrame:
     """Label-conditional entropy weighting (src/emodel.jl:51-111).
 
     D[class, token] = smooth + #docs of that class containing token
     (distinct per doc, src/emodel.jl:68-73). With :balance class
-    weights W_c = sum(W)/W_c where W_c = sum_t D[c, t]. Weight per
-    token = 1 - entropy(D[:, t] .* W)/log2(nclasses), or 0 when
-    ndocs_t < mindocs (NormalizedEntropy combiner, src/emodel.jl:7-8).
+    weights W_c = sum(W)/W_c where W_c = sum_t D[c, t]. The per-token
+    weight applies the selected CombineWeighting (src/emodel.jl:6-16):
+
+    - ``normalized_entropy``: 1 - H/maxent
+    - ``penalize_few_samples``: (maxent - H) * log2(ndocs_t)
+    - ``sigmoid_penalize_few_samples``:
+      (1 - H/maxent) * (1 - 1/(1 + log2(ndocs_t)))
+
+    with ``lowerweight`` assigned when ndocs_t < mindocs
+    (src/emodel.jl:19-22, default 0.0).
     """
     classes = [r.label for r in labels.select("label").distinct().orderBy("label").collect()]
     nclasses = len(classes)
@@ -151,7 +172,15 @@ def _entropy_weights(bow: DataFrame, vocab: DataFrame, labels: DataFrame, *,
         ),
         F.lit(0.0),
     )
-    gw = F.when(F.col("ndocs") < mindocs, 0.0).otherwise(1.0 - ent / maxent)
+    if comb == "normalized_entropy":
+        combined = 1.0 - ent / maxent
+    elif comb == "penalize_few_samples":
+        combined = (F.lit(maxent) - ent) * F.log2(F.col("ndocs"))
+    elif comb == "sigmoid_penalize_few_samples":
+        combined = (1.0 - ent / maxent) * (1.0 - 1.0 / (1.0 + F.log2(F.col("ndocs"))))
+    else:
+        raise ValueError(f"unknown entropy combiner {comb!r}; one of {ENTROPY_COMBINERS}")
+    gw = F.when(F.col("ndocs") < mindocs, F.lit(float(lowerweight))).otherwise(combined)
     return pivoted.withColumn("gweight", gw).select("token", "occs", "ndocs", "gweight")
 
 

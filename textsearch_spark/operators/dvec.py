@@ -40,6 +40,146 @@ def centroid(vecs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     return summed.withColumn("weight", F.col("weight") / total)
 
 
+def l1norm(vecs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """(id, l1norm) — sum of absolute weights (src/dvec.jl:98-105; the
+    reference's literal loop body is broken Julia — ``v[i]`` on a scalar
+    — so we implement the intended L1 norm, identical to the raw sum for
+    the nonnegative weights used throughout the reference)."""
+    return vecs.groupBy(id_col).agg(F.sum(F.abs(F.col("weight"))).alias("l1norm"))
+
+
+def l1_normalize(vecs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Divide each entry by the vector's L1 norm (src/dvec.jl:108-115)."""
+    w = Window.partitionBy(id_col)
+    nrm = F.sum(F.abs(F.col("weight"))).over(w)
+    return vecs.withColumn("weight", F.col("weight") / nrm)
+
+
+def sub(a: DataFrame, b: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Elementwise a - b of same-id vectors (src/dvec.jl:246-259).
+
+    Reference semantics: start from a copy of ``a``; every *nonzero*
+    entry of ``b`` is subtracted (introducing the key with ``-w`` if
+    absent). Keys whose difference is exactly 0 are kept, like the
+    reference's dict entries."""
+    aa = a.select(id_col, "token", F.col("weight").alias("__wa"))
+    bb = b.filter(F.col("weight") != 0).select(
+        id_col, "token", F.col("weight").alias("__wb")
+    )
+    return (
+        aa.join(bb, [id_col, "token"], "full")
+        .select(
+            id_col, "token",
+            (F.coalesce("__wa", F.lit(0.0)) - F.coalesce("__wb", F.lit(0.0))).alias("weight"),
+        )
+    )
+
+
+def mul(a: DataFrame, b: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Elementwise (Hadamard) product of same-id vectors
+    (src/dvec.jl:263-280): only keys present in both with a nonzero
+    ``b`` weight survive — the inner join IS the reference's
+    delete-on-missing loop."""
+    aa = a.select(id_col, "token", F.col("weight").alias("__wa"))
+    bb = b.filter(F.col("weight") != 0).select(
+        id_col, "token", F.col("weight").alias("__wb")
+    )
+    return aa.join(bb, [id_col, "token"]).select(
+        id_col, "token", (F.col("__wa") * F.col("__wb")).alias("weight")
+    )
+
+
+def scalar_mul(vecs: DataFrame, s: float) -> DataFrame:
+    """vec * scalar (src/dvec.jl:283-297)."""
+    return vecs.withColumn("weight", F.col("weight") * F.lit(float(s)))
+
+
+def scalar_div(vecs: DataFrame, s: float) -> DataFrame:
+    """vec / scalar == vec * (1/s) (src/dvec.jl:300-308)."""
+    return scalar_mul(vecs, 1.0 / float(s))
+
+
+def vec_extrema(vecs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Per-vector findmax/findmin/argmax/argmin/maximum/minimum
+    (src/dvec.jl:17-47) in one aggregate:
+
+        (id, max_weight, argmax_token, min_weight, argmin_token)
+
+    The reference iterates dict order and keeps the last tied key —
+    unspecified order; we pin ties deterministically (largest token for
+    argmax, smallest for argmin via the struct ordering)."""
+    return vecs.groupBy(id_col).agg(
+        F.max(F.struct("weight", "token")).alias("__mx"),
+        F.min(F.struct("weight", "token")).alias("__mn"),
+    ).select(
+        id_col,
+        F.col("__mx.weight").alias("max_weight"),
+        F.col("__mx.token").alias("argmax_token"),
+        F.col("__mn.weight").alias("min_weight"),
+        F.col("__mn.token").alias("argmin_token"),
+    )
+
+
+def nnz(vecs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """(id, nnz) — number of stored entries (src/dvec.jl:16)."""
+    return vecs.groupBy(id_col).agg(F.count("*").alias("nnz"))
+
+
+def sum_vectors(vecs: DataFrame) -> DataFrame:
+    """Sum of all vectors in the table -> one-vector (token, weight)
+    table (Base.sum over DVEC lists, src/dvec.jl:200-207)."""
+    return vecs.groupBy("token").agg(F.sum("weight").alias("weight"))
+
+
+def sparse_coo(vecs: DataFrame, *, id_col: str = "doc_id", minweight: float = 1e-9) -> DataFrame:
+    """COO triplets from a long-form vector table with the reference's
+    filters (sparse_coo, src/sparseconversions.jl:47-62): drop entries
+    below ``minweight`` (and the OOV/sentinel key, the reference's
+    ``term > 0``)."""
+    from ..functions.weighting import EMPTY_SENTINEL
+
+    return vecs.filter(
+        (F.col("weight") >= minweight) & (F.col("token") != EMPTY_SENTINEL)
+    ).select(id_col, "token", "weight")
+
+
+def to_indexed(vecs: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Long form -> per-vector CSC-style arrays
+    ``(id, indices array<int>, values array<double>)``, index-sorted —
+    the ``sparsevec(dvec)`` conversion (src/sparseconversions.jl:21-37)
+    in Spark's native sparse layout. ``token_ids`` maps (token,
+    token_id); unmapped tokens drop (the reference skips t <= 0).
+
+    Feed the result to ``pyspark.ml`` via
+    ``SparseVector(size, row.indices, row.values)`` per row, or keep it
+    columnar — every operator in this module works on the long form."""
+    j = vecs.join(F.broadcast(token_ids.select("token", "token_id")), "token")
+    return (
+        j.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("token_id"), F.col("weight")))).alias("__e"))
+        .select(
+            id_col,
+            F.col("__e.token_id").alias("indices"),
+            F.col("__e.weight").alias("values"),
+        )
+    )
+
+
+def from_indexed(indexed: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """Inverse of :func:`to_indexed` — the ``dvec(sparsevector)``
+    conversion (src/sparseconversions.jl:12-14)."""
+    x = indexed.select(
+        id_col, F.explode(F.arrays_zip("indices", "values")).alias("__p")
+    ).select(
+        id_col,
+        F.col("__p.indices").alias("token_id"),
+        F.col("__p.values").alias("weight"),
+    )
+    return x.join(F.broadcast(token_ids.select("token", "token_id")), "token_id").select(
+        id_col, "token", "weight"
+    )
+
+
 def pairwise_dot(a: DataFrame, b: DataFrame, *, a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:
     """All-pairs sparse dot products via the shared-token join
     (src/dvec.jl:124-136): a (a_id, token, weight) x b (b_id, token,

@@ -40,19 +40,110 @@ from ..functions.codec import encode_block
 
 DEFAULT_BLOCK_SPAN = 4096
 
+# Bump whenever the block table's schema or blob encoding changes; the
+# checkpoint fingerprint folds this in so stale persisted block tables
+# rebuild instead of crashing the WAND kernel at query time.
+BLOCKS_FORMAT = 2
+BLOCKS_COLUMNS = (
+    "token", "block_id", "n", "first_doc", "last_doc", "ndocs",
+    "max_impact", "span", "blob",
+)
+
+
+def validate_blocks_schema(blocks: DataFrame, where: str = "blocks table") -> None:
+    missing = [c for c in BLOCKS_COLUMNS if c not in blocks.columns]
+    if missing:
+        raise ValueError(
+            f"{where} is missing columns {missing} (format v{BLOCKS_FORMAT}); "
+            "it was built by an older version — rebuild with "
+            "build_posting_blocks / build_bm25_index_checkpointed."
+        )
+
 
 @pandas_udf(BinaryType())
-def _encode_entries(entries: pd.Series) -> pd.Series:
+def _encode_entries(docs: pd.Series, tfs: pd.Series, dls: pd.Series) -> pd.Series:
+    """Encode one block per row from three primitive array columns.
+
+    The struct array is split JVM-side (``entries.doc_id`` etc.) so
+    Arrow ships list<int64> columns that surface as numpy arrays —
+    never 10^7 per-entry Python dicts."""
     import numpy as np
 
-    def enc(arr):
-        # arr: list of Rows (doc_id, tf, doclen), already docID-sorted
-        docs = np.fromiter((e["doc_id"] for e in arr), dtype=np.uint64, count=len(arr))
-        tfs = np.fromiter((e["tf"] for e in arr), dtype=np.uint64, count=len(arr))
-        dls = np.fromiter((e["doclen"] for e in arr), dtype=np.uint64, count=len(arr))
-        return encode_block(docs, tfs, dls)
+    return pd.Series([
+        encode_block(np.asarray(d, dtype=np.uint64), np.asarray(t, dtype=np.uint64),
+                     np.asarray(l, dtype=np.uint64))
+        for d, t, l in zip(docs, tfs, dls)
+    ])
 
-    return entries.map(enc)
+
+def _encode_with_max_udf(bm25):
+    """pandas UDF: (entries, ndocs) -> struct(blob, max_impact). The
+    per-block BM25 bound is computed here from (tf, doclen, ndocs) with
+    the folded constants — numerically identical to the Catalyst
+    ``impact`` column (tokenscore_np mirrors tokenscore_expr), so WAND's
+    bounds stay consistent with its kernel re-scoring."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.bm25 import tokenscore_np
+
+    rt = StructType([
+        StructField("blob", BinaryType()),
+        StructField("max_impact", DoubleType()),
+    ])
+
+    @pandas_udf(rt)
+    def enc(docs: pd.Series, tfs: pd.Series, dls: pd.Series,
+            ndocs: pd.Series) -> pd.DataFrame:
+        blobs, maxes = [], []
+        for d, t, l, nd in zip(docs, tfs, dls, ndocs):
+            du = np.asarray(d, dtype=np.uint64)
+            tu = np.asarray(t, dtype=np.uint64)
+            lu = np.asarray(l, dtype=np.uint64)
+            blobs.append(encode_block(du, tu, lu))
+            scores = tokenscore_np(bm25, np.full(len(du), float(nd)), lu, tu)
+            maxes.append(float(scores.max()) if len(du) else 0.0)
+        return pd.DataFrame({"blob": blobs, "max_impact": maxes})
+
+    return enc
+
+
+def build_posting_blocks_from_bow(bow: DataFrame, bm25, *, span: int = DEFAULT_BLOCK_SPAN) -> DataFrame:
+    """BOW (doc_id, token, tf, doclen) -> block table with ONE shuffle.
+
+    The classic path (build_bm25_index -> build_posting_blocks) carries
+    per-posting ``ndocs`` and ``impact`` through the (token, block_id)
+    exchange; at 10^12 scale those 16 bytes/posting are pure shuffle
+    waste. Here only (doc_id, tf, doclen) cross the wire; ``ndocs`` is
+    recovered from the aggregated block table itself (sum of block ``n``
+    per token — one window over the SMALL block relation) and
+    ``max_impact`` is computed inside the encode kernel. Output is
+    column-identical to :func:`build_posting_blocks`.
+    """
+    from pyspark.sql.window import Window
+
+    p = bow.withColumn("block_id", (F.col("doc_id") / span).cast("long"))
+    agg = p.groupBy("token", "block_id").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf", "doclen"))).alias("entries"),
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    # ndocs == total postings of the token (one row per (doc, token));
+    # the window runs over block rows, ~span x smaller than postings
+    agg = agg.withColumn("ndocs", F.sum("n").over(Window.partitionBy("token")))
+    enc = _encode_with_max_udf(bm25)
+    return agg.select(
+        "token", "block_id", "n", "first_doc", "last_doc", "ndocs",
+        F.lit(span).alias("span"),
+        enc(F.col("entries.doc_id"), F.col("entries.tf"),
+            F.col("entries.doclen"), F.col("ndocs")).alias("__e"),
+    ).select(
+        "token", "block_id", "n", "first_doc", "last_doc", "ndocs",
+        F.col("__e.max_impact").alias("max_impact"), "span",
+        F.col("__e.blob").alias("blob"),
+    )
 
 
 def build_posting_blocks(postings: DataFrame, *, span: int = DEFAULT_BLOCK_SPAN) -> DataFrame:
@@ -75,5 +166,6 @@ def build_posting_blocks(postings: DataFrame, *, span: int = DEFAULT_BLOCK_SPAN)
     return agg.select(
         "token", "block_id", "n", "first_doc", "last_doc", "ndocs", "max_impact",
         F.lit(span).alias("span"),
-        _encode_entries(F.col("entries")).alias("blob"),
+        _encode_entries(F.col("entries.doc_id"), F.col("entries.tf"),
+                        F.col("entries.doclen")).alias("blob"),
     )

@@ -30,13 +30,36 @@ from ..plans.build import BM25Index
 
 
 def query_tokens(index: BM25Index, queries: DataFrame, *, query_col: str = "qtext",
-                 id_col: str = "query_id") -> DataFrame:
-    """(query_id, token) — distinct in-vocab query terms. OOV terms drop
-    at the postings join (token2id -> 0 -> skipped in the reference,
-    src/voc.jl:21, src/bow.jl:14-23)."""
-    return (
+                 id_col: str = "query_id", typo_tolerant: bool = False,
+                 maxdist: float = 0.7) -> DataFrame:
+    """(query_id, token) — distinct query terms. OOV terms drop at the
+    postings join (token2id -> 0 -> skipped in the reference,
+    src/voc.jl:21, src/bow.jl:14-23).
+
+    ``typo_tolerant=True`` swaps the exact token2id for the reference's
+    QgramsLookup-as-token2id (src/approxvoc.jl:46-57): each query term
+    resolves to its nearest vocabulary token under character-3-gram
+    Jaccard distance (exact hits at distance 0), terms whose best match
+    exceeds ``maxdist`` drop. Cost shape: one bounded set-similarity
+    join over the distinct term set of the batch — the vocabulary q-gram
+    side is index-time state, independent of corpus size."""
+    toks = (
         exploded_tokens(queries, index.cfg, doc_col=id_col, text_col=query_col)
         .select(id_col, "token")
+        .distinct()
+    )
+    if not typo_tolerant:
+        return toks
+    from .approxvoc import approx_lookup
+
+    resolved = approx_lookup(
+        index.vocab,
+        toks.select(F.col("token").alias("qtoken")).distinct(),
+        maxdist=maxdist,
+    )
+    return (
+        toks.join(resolved, toks.token == resolved.qtoken)
+        .select(id_col, F.col("match_token").alias("token"))
         .distinct()
     )
 
@@ -67,6 +90,8 @@ def search_bm25(
     id_col: str = "query_id",
     accept_min_ndocs: Optional[int] = None,
     accept_max_ndocs: Optional[int] = None,
+    typo_tolerant: bool = False,
+    maxdist: float = 0.7,
 ) -> DataFrame:
     """Returns (query_id, rank, doc_id, score) with rank 1..k by
     descending BM25 (the reference stores negated scores so its
@@ -77,7 +102,8 @@ def search_bm25(
     pushed-down predicate on list length — e.g. skipping stop-wordish
     very long lists at query time.
     """
-    q = query_tokens(index, queries, query_col=query_col, id_col=id_col)
+    q = query_tokens(index, queries, query_col=query_col, id_col=id_col,
+                     typo_tolerant=typo_tolerant, maxdist=maxdist)
 
     p = index.postings
     if accept_min_ndocs is not None:

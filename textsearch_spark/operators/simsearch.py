@@ -4,13 +4,21 @@ Two paths, as a large-scale pipeline needs:
 
 - ``cosine_topk``: exact brute-force top-k. The query matrix is small
   and broadcast; each executor partition scores its slice with one
-  numpy matmul inside mapInPandas (Arrow batches, no per-row Python).
+  numpy matmul inside mapInPandas (Arrow batches, no per-row Python)
+  and keeps a **bounded per-batch top-k**, so the kernel emits at most
+  k rows per (query, batch) — never the n_docs x n_queries score
+  matrix. The final window merges bounded candidates only.
 - ``lsh_cosine_topk``: random-hyperplane LSH. Hyperplane components are
   md5-derived pseudo-randoms, so buckets are deterministic across
   engines and cluster sizes (the DuckDB oracle reproduces them
   bit-for-bit). Candidates sharing the query's bucket are re-scored
   exactly; this is the scale path — the join is on the bucket key, and
   only bucket-mates are scored.
+
+All dot products / norms / sign projections run as vectorized numpy
+matmuls inside Arrow-batched pandas UDFs — one kernel regardless of
+dimension, so real embedding widths (768-4096) cost a matmul, not a
+4096-term Catalyst expression tree.
 """
 
 from __future__ import annotations
@@ -21,23 +29,53 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
 from pyspark.sql.window import Window
 
+# guard on the driver-side collect of query vectors: queries are the
+# broadcast side and must stay small (split larger query sets into
+# batches — results are independent per query)
+MAX_QUERY_BATCH = 65536
 
-def _hyperplane_expr(n_planes: int, dim: int):
-    """plane[p][d] = (md5 nibble-derived uniform in [-0.5, 0.5)).
-    Returns a python list of lists — also reproducible in SQL as
+
+def _hyperplanes(n_planes: int, dim: int) -> np.ndarray:
+    """plane[p][d] = md5 nibble-derived uniform in [-0.5, 0.5) —
+    deterministic across engines; also reproducible in SQL as
     (hex->int of md5 prefix)/2^32 - 0.5."""
     import hashlib
 
-    planes = []
+    out = np.empty((n_planes, dim), dtype=np.float64)
     for p in range(n_planes):
-        row = []
         for d in range(dim):
             h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:8]
-            row.append(int(h, 16) / 2**32 - 0.5)
-        planes.append(row)
-    return planes
+            out[p, d] = int(h, 16) / 2**32 - 0.5
+    return out
+
+
+def _hyperplane_expr(n_planes: int, dim: int) -> list[list[float]]:
+    """Plane table as plain Python floats — used by the DuckDB oracle
+    generator to embed the identical constants in SQL."""
+    return _hyperplanes(n_planes, dim).tolist()
+
+
+def _to_matrix(series: pd.Series) -> np.ndarray:
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def _topk_rows(ids: np.ndarray, sims: np.ndarray, k: int):
+    """Top-k of one query's batch scores by (cos desc, id asc).
+    O(n) argpartition prefilter + exact sort of the surviving <=2k."""
+    n = len(ids)
+    if n > 2 * k:
+        part = np.argpartition(-sims, k - 1)
+        kth = sims[part[k - 1]]
+        keep = np.flatnonzero(sims >= kth)
+    else:
+        keep = np.arange(n)
+    order = np.lexsort((ids[keep], -sims[keep]))[:k]
+    sel = keep[order]
+    return ids[sel], sims[sel]
 
 
 def cosine_topk(
@@ -49,7 +87,16 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors (self excluded) for the given query
-    ids: (query_id, rank, neighbor_id, cos)."""
+    ids: (query_id, rank, neighbor_id, cos).
+
+    Scale shape: the kernel emits <= k * n_queries rows per Arrow batch
+    (bounded local top-k, same pattern as the WAND bucket kernel), so
+    the merge window sees <= k * n_queries * n_partitions rows — never
+    an n_docs x n_queries stage.
+    """
+    assert len(query_ids) <= MAX_QUERY_BATCH, (
+        f"query batch {len(query_ids)} exceeds {MAX_QUERY_BATCH}; split the batch"
+    )
     qrows = embeddings.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
@@ -60,19 +107,25 @@ def cosine_topk(
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype=np.int64)
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = _to_matrix(pdf[vec_col])
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             sims = (mat / norms) @ q_norm.T  # (batch, n_queries)
-            nq = len(q_ids)
+            out_q, out_i, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                s = sims[:, qi]
+                mask = ids != q_ids[qi]  # self-match excluded pre-top-k
+                t_ids, t_sims = _topk_rows(ids[mask], s[mask], k)
+                out_q.append(np.full(len(t_ids), q_ids[qi], dtype=np.int64))
+                out_i.append(t_ids)
+                out_c.append(t_sims)
             yield pd.DataFrame({
-                "query_id": np.repeat(q_ids, len(ids)),
-                "neighbor_id": np.tile(ids, nq),
-                "cos": sims.T.reshape(-1),
+                "query_id": np.concatenate(out_q) if out_q else np.empty(0, np.int64),
+                "neighbor_id": np.concatenate(out_i) if out_i else np.empty(0, np.int64),
+                "cos": np.concatenate(out_c) if out_c else np.empty(0),
             })
 
     scored = embeddings.select(id_col, vec_col).mapInPandas(score, out_schema)
-    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -81,18 +134,36 @@ def cosine_topk(
     )
 
 
+def _bucket_udf(n_planes: int, dim: int):
+    planes_t = _hyperplanes(n_planes, dim).T  # (dim, planes)
+
+    @pandas_udf(StringType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = _to_matrix(vecs)  # (n, dim)
+        signs = (mat @ planes_t) >= 0  # (n, planes)
+        bits = signs.astype(np.uint8).astype("U1")  # True/False -> '1'/'0'
+        return pd.Series(["".join(row) for row in bits])
+
+    return bucket
+
+
 def with_lsh_bucket(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, *,
                     vec_col: str = "embedding") -> DataFrame:
-    """Adds a deterministic sign-LSH ``bucket`` string column."""
-    planes = _hyperplane_expr(n_planes, dim)
-    bits = []
-    for p in range(n_planes):
-        dot = sum(
-            (F.col(vec_col)[d].cast("double") * F.lit(planes[p][d]) for d in range(dim)),
-            F.lit(0.0),
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return embeddings.withColumn("bucket", F.concat(*bits))
+    """Adds a deterministic sign-LSH ``bucket`` string column. One
+    vectorized matmul per Arrow batch — dimension-independent plan."""
+    return embeddings.withColumn("bucket", _bucket_udf(n_planes, dim)(F.col(vec_col)))
+
+
+@pandas_udf(DoubleType())
+def _cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    a = _to_matrix(va)
+    b = _to_matrix(vb)
+    dots = np.einsum("ij,ij->i", a, b)
+    na = np.linalg.norm(a, axis=1)
+    nb = np.linalg.norm(b, axis=1)
+    den = na * nb
+    den[den == 0] = 1.0
+    return pd.Series(dots / den)
 
 
 def lsh_near_dup_pairs(
@@ -113,14 +184,8 @@ def lsh_near_dup_pairs(
     a = b.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), "bucket")
     c = b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"), "bucket")
     pairs = a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    # left-fold in dimension order: bit-compatible with a sequential
-    # dot-product loop (the DuckDB oracle's list_dot_product)
-    dot = sum((F.col("__va")[d].cast("double") * F.col("__vb")[d].cast("double")
-               for d in range(dim)), F.lit(0.0))
-    nrm = lambda c_: F.sqrt(sum((F.col(c_)[d].cast("double") ** 2 for d in range(dim)),
-                                F.lit(0.0)))
     return (
-        pairs.select("vec_a", "vec_b", (dot / (nrm("__va") * nrm("__vb"))).alias("cos"))
+        pairs.select("vec_a", "vec_b", _cos_udf(F.col("__va"), F.col("__vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
@@ -142,14 +207,9 @@ def lsh_cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "bucket"
     )
     cand = b.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col("query_id"))
-    dot = sum(
-        (F.col(vec_col)[d].cast("double") * F.col("qvec")[d].cast("double") for d in range(dim)),
-        F.lit(0.0),
-    )
-    norm = lambda c: F.sqrt(sum((F.col(c)[d].cast("double") ** 2 for d in range(dim)), F.lit(0.0)))
     scored = cand.select(
         "query_id", F.col(id_col).alias("neighbor_id"),
-        (dot / (norm(vec_col) * norm("qvec"))).alias("cos"),
+        _cos_udf(F.col(vec_col), F.col("qvec")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

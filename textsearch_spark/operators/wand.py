@@ -68,7 +68,13 @@ def _bucket_kernel(bm25: FoldedBM25, k: int):
         toks = pdf["token"].to_numpy(dtype=object)
         bids = pdf["block_id"].to_numpy(dtype=np.int64)
         maximp = pdf["max_impact"].to_numpy(dtype=np.float64)
-        span = int(pdf["span"].iloc[0])
+        spans = pdf["span"].unique()
+        if len(spans) != 1:
+            # mixed spans in one bucket (e.g. a union of block tables
+            # built at different spans) would silently reconstruct wrong
+            # doc ids from the per-block offsets — refuse loudly
+            raise ValueError(f"bucket holds blocks with mixed spans {sorted(spans)}")
+        span = int(spans[0])
 
         decoded: dict[int, tuple] = {}
 
@@ -129,6 +135,11 @@ def _bucket_kernel(bm25: FoldedBM25, k: int):
                     for i in rows:
                         off, s = get(i)
                         dense[off] += s
+                    # np.flatnonzero relies on the BM25+ positive-impact
+                    # invariant (idf=log(1+x) with x>0, delta>=0, tf>=1
+                    # => every contribution > 0, so an accumulated score
+                    # is 0.0 iff untouched). search_bm25_wand asserts the
+                    # invariant once per call; see FoldedBM25 docs.
                     touched = np.flatnonzero(dense)
                     scores = dense[touched].copy()
                     dense[touched] = 0.0
@@ -180,6 +191,8 @@ def search_bm25_wand(
     id_col: str = "query_id",
     n_buckets: Optional[int] = None,
     query_groups: int = 1,
+    typo_tolerant: bool = False,
+    maxdist: float = 0.7,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to search_bm25.
 
@@ -203,11 +216,21 @@ def search_bm25_wand(
     for parallelism.
     """
     assert index.blocks is not None, "build_posting_blocks first (or io.load_index)"
+    from .postings import validate_blocks_schema
+
+    validate_blocks_schema(index.blocks, where="index.blocks")
+    # WAND correctness (both the flatnonzero sparsification and the
+    # block-max bound safety) requires strictly positive per-posting
+    # impacts. BM25+ satisfies this (idf=log(1+x), x>0; delta>=0; the tf
+    # term > 0); a future weighting variant with zero/negative
+    # contributions must not reuse this kernel unchecked.
+    assert index.bm25.delta >= 0.0, "WAND requires delta >= 0 (positive impacts)"
     spark = index.spark
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    q = query_tokens(index, queries, query_col=query_col, id_col=id_col)
+    q = query_tokens(index, queries, query_col=query_col, id_col=id_col,
+                     typo_tolerant=typo_tolerant, maxdist=maxdist)
     if id_col != "query_id":
         q = q.withColumnRenamed(id_col, "query_id")
 

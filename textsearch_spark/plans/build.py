@@ -137,6 +137,70 @@ def build_bm25_index(
     )
 
 
+def build_bm25_index_direct(
+    df: DataFrame,
+    cfg: TextConfig,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    multi: bool = False,
+    params: BM25Params = BM25Params(),
+    span: int = 4096,
+    cache: bool = True,
+) -> BM25Index:
+    """Build straight to compressed block-max postings — the at-scale
+    path: ONE wide shuffle total (the BOW keyed by (token, block_id)),
+    with ndocs/impact recovered post-aggregation instead of being
+    carried per posting (operators/postings.build_posting_blocks_from_bow).
+
+    ``postings``/``doclens``/``vocab`` remain lazy derived plans for the
+    naive scorer and maintenance ops; materializing them costs the
+    classic path's extra passes, but a WAND-only consumer (the scaling
+    bench, a production query tier) never does.
+
+    No vocab_filter variant: pruning composes downstream
+    (``filter_lists`` / vocabulary predicates) — the direct path exists
+    to keep the hot build minimal.
+    """
+    bow = bow_long(df, cfg, doc_col=doc_col, text_col=text_col, multi=multi)
+    if doc_col != "doc_id":
+        bow = bow.withColumnRenamed(doc_col, "doc_id")
+    if cache:
+        bow = bow.cache()
+
+    n_docs = df.count()
+    total_tokens = bow.agg(F.sum("tf")).collect()[0][0] or 0
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+    bm25 = params.fold(avgdl, n_docs)
+
+    from ..operators.postings import build_posting_blocks_from_bow
+
+    blocks = build_posting_blocks_from_bow(bow, bm25, span=span)
+    if cache:
+        blocks = blocks.cache()
+
+    vocab = vocab_from_bow(bow)
+    postings = (
+        bow.join(vocab.select("token", "ndocs"), "token")
+        .withColumn(
+            "impact",
+            tokenscore_expr(
+                bm25,
+                F.col("ndocs").cast("double"),
+                F.col("doclen").cast("double"),
+                F.col("tf").cast("double"),
+            ),
+        )
+        .select(*POSTING_COLS)
+    )
+    doclens = bow.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
+    return BM25Index(
+        cfg=cfg, params=params, bm25=bm25, vocab=vocab,
+        postings=postings, doclens=doclens, n_docs=n_docs, avgdl=avgdl,
+        blocks=blocks,
+    )
+
+
 def filter_lists(
     index: BM25Index,
     *,

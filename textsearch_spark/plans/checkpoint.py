@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import BM25Params, TextConfig
-from ..operators.postings import DEFAULT_BLOCK_SPAN, build_posting_blocks
+from ..operators.postings import (
+    BLOCKS_FORMAT,
+    DEFAULT_BLOCK_SPAN,
+    build_posting_blocks,
+    validate_blocks_schema,
+)
 from ..plans.build import BM25Index, build_bm25_index
 from ..sources.io import content_sha_column, load_index, save_index
 
@@ -138,8 +143,13 @@ def build_bm25_index_checkpointed(
 
     mb = read_manifest(index_dir, "blocks")
     blocks_path = os.path.join(index_dir, "blocks")
-    if mb and mb["fingerprint"] == fp and os.path.isdir(blocks_path):
+    # the blocks stage has its own fingerprint: block_span and the block
+    # format version are part of the stage's identity, so changing either
+    # rebuilds instead of silently reusing a stale/incompatible table
+    fp_blocks = f"{fp}|span={block_span}|blocks_format={BLOCKS_FORMAT}"
+    if mb and mb["fingerprint"] == fp_blocks and os.path.isdir(blocks_path):
         blocks = spark.read.parquet(blocks_path)
+        validate_blocks_schema(blocks, where=f"checkpointed blocks at {blocks_path}")
     else:
         t0 = time.time()
         blocks = build_posting_blocks(index.postings, span=block_span)
@@ -149,10 +159,10 @@ def build_bm25_index_checkpointed(
         )
         blocks = spark.read.parquet(blocks_path)
         write_manifest(
-            index_dir, "blocks", fingerprint=fp, parents=["index"],
+            index_dir, "blocks", fingerprint=fp_blocks, parents=["index"],
             shards=_shard_stats(blocks, "token"),
             metrics={"blocks_sec": time.time() - t0, "block_rows": blocks.count(),
-                     "span": block_span},
+                     "span": block_span, "blocks_format": BLOCKS_FORMAT},
         )
 
     index.blocks = blocks

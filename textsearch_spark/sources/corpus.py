@@ -89,18 +89,29 @@ def synthetic_code_corpus(spark: SparkSession, n_docs: int, *, partitions: int |
 
 def with_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit")) -> DataFrame:
     """Stable dense 1-based doc_id by (repo, path, commit) — FIXTURES.md
-    F2 — without a single-partition global window: sort, then compute
-    per-partition offsets from partition counts and add the local
-    row_number (the distributed zipWithIndex pattern in DataFrame ops).
+    F2 — without a single-partition global window: range-partition +
+    sort by the key, then ``zipWithIndex`` (one extra count job; the
+    only RDD use in the engine, because it is the one primitive that
+    assigns contiguous cross-partition offsets in a single consistent
+    computation).
+
+    A previous version derived per-partition offsets from
+    ``spark_partition_id()`` in one query and joined them back in
+    another — but AQE may coalesce the two instantiations of the
+    exchange differently, making the pids disagree and silently
+    DROPPING every row whose pid had no offsets match. Partition-id
+    arithmetic across separate query executions is unsound under AQE;
+    zipWithIndex runs inside one job and cannot skew.
     """
-    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(*order_cols)
-    d = d.withColumn("__pid", F.spark_partition_id())
-    counts = d.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(w), F.lit(0))).drop("__cnt")
-    local = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
-        d.join(F.broadcast(offsets), "__pid")
-        .withColumn("doc_id", F.row_number().over(local) + F.col("__off"))
-        .drop("__pid", "__off")
+    from pyspark.sql.types import LongType, StructField
+
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = (
+        df.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+    )
+    schema = d.schema.add(StructField("doc_id", LongType(), False))
+    return spark.createDataFrame(
+        d.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1)), schema
     )

@@ -75,6 +75,10 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
     params = BM25Params(**meta["params"])
     blocks_path = os.path.join(path, "blocks")
     blocks = spark.read.parquet(blocks_path) if os.path.isdir(blocks_path) else None
+    if blocks is not None:
+        from ..operators.postings import validate_blocks_schema
+
+        validate_blocks_schema(blocks, where=f"blocks at {blocks_path}")
     return BM25Index(
         cfg=cfg,
         params=params,
@@ -85,6 +89,45 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
         blocks=blocks,
+    )
+
+
+def save_model(model, path: str) -> None:
+    """Persist a VectorModel — the reference's ``savemodel``
+    (src/io.jl:24-29) analogue. Layout: ``meta.json`` (TextConfig,
+    weighting names, corpus stats) + ``vocab/`` parquet with the
+    precomputed global weights."""
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "kind": "VectorModel",
+        "textconfig": json.loads(model.cfg.to_json()),
+        "local_weighting": model.local_weighting,
+        "global_weighting": model.global_weighting,
+        "corpuslen": model.corpuslen,
+        "maxoccs": model.maxoccs,
+    }
+    with open(os.path.join(path, META), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    model.vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+
+
+def load_model(spark: SparkSession, path: str):
+    """Load a persisted VectorModel — ``loadmodel`` (src/io.jl:31-35)."""
+    from ..functions.weighting import VectorModel
+
+    with open(os.path.join(path, META)) as f:
+        meta = json.load(f)
+    if meta.get("kind") != "VectorModel":
+        raise ValueError(f"{path} holds {meta.get('kind', 'a BM25 index')}, not a VectorModel")
+    vocab_path = os.path.join(path, "vocab")
+    spark.catalog.refreshByPath(vocab_path)
+    return VectorModel(
+        cfg=TextConfig.from_json(json.dumps(meta["textconfig"])),
+        local_weighting=meta["local_weighting"],
+        global_weighting=meta["global_weighting"],
+        vocab=spark.read.parquet(vocab_path),
+        corpuslen=meta["corpuslen"],
+        maxoccs=meta["maxoccs"],
     )
 
 
