@@ -64,7 +64,7 @@ def query_tokens(index: BM25Index, queries: DataFrame, *, query_col: str = "qtex
     )
 
 
-PRUNE_MAX_TERMS = 10_000
+PRUNE_MAX_TERMS = 500
 
 
 def prune_postings_by_terms(postings: DataFrame, q: DataFrame) -> DataFrame:
@@ -73,8 +73,13 @@ def prune_postings_by_terms(postings: DataFrame, q: DataFrame) -> DataFrame:
     this prunes row groups / files via min-max statistics — the
     distributed analogue of the reference fetching only the query
     terms' lists (select_posting_lists, src/bm25invfilesearch.jl:38).
-    Skipped when the batch has too many distinct terms for a literal
-    filter."""
+
+    Skipped for batches with many distinct terms: the driver
+    round-trip plus a thousands-of-literals Catalyst expression costs
+    seconds of SERIAL planning time while pruning almost nothing (a
+    dense batch touches most row groups anyway), and the downstream
+    broadcast join restricts tokens regardless — results are identical
+    either way. 500 keeps the pushdown for the common small-batch case."""
     toks = [r.token for r in q.select("token").distinct().limit(PRUNE_MAX_TERMS + 1).collect()]
     if 0 < len(toks) <= PRUNE_MAX_TERMS:
         return postings.filter(F.col("token").isin(toks))
