@@ -236,7 +236,8 @@ def _scaling_leg_main(cpus: int, corpus_path: str, n_queries: int,
         # shuffle). On this synthetic corpus every term is stop-word-
         # dense so block-max bounds cannot prune; a Zipf-vocab corpus
         # would use coarser buckets to engage BMW.
-        search_bm25_wand(idx, qdf, 10, n_buckets=n_blocks, query_groups=1).count()
+        search_bm25_wand(idx, qdf, 10, n_buckets=n_blocks, query_groups=1,
+                         prune_scan=False).count()  # blocks are cached in memory
         return time.time() - t0
 
     def reset_caches():

@@ -54,10 +54,18 @@ from .search import query_tokens
 _OUT_SCHEMA = "query_id long, doc_id long, score double"
 
 
-def _bucket_kernel(bm25: FoldedBM25, k: int):
-    """applyInPandas kernel: one bucket's candidate blocks (distinct
-    (token, block) rows, each carrying the query_ids that want it) ->
-    local top-k (query_id, doc_id, score) for every query."""
+def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int):
+    """applyInPandas kernel: one (bucket, query_group)'s candidate
+    blocks (bare (token, block) rows — NO per-row query lists) ->
+    local top-k (query_id, doc_id, score) for every query.
+
+    ``bq`` is a Spark broadcast of {query_id: (token, ...)} — the
+    query batch's distinct in-vocab term sets. Shipping this ONCE per
+    executor instead of attaching a query-id array to every candidate
+    row matters enormously for dense batches: a stop-wordish token
+    carried the full batch's id list on every one of its block rows
+    (8192 ids x 8B x blocks = GBs over the shuffle + Arrow), ~30x the
+    compressed postings themselves."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -75,6 +83,7 @@ def _bucket_kernel(bm25: FoldedBM25, k: int):
             # doc ids from the per-block offsets — refuse loudly
             raise ValueError(f"bucket holds blocks with mixed spans {sorted(spans)}")
         span = int(spans[0])
+        qgrp = int(pdf["qgrp"].iloc[0]) if query_groups > 1 else 0
 
         decoded: dict[int, tuple] = {}
 
@@ -88,20 +97,26 @@ def _bucket_kernel(bm25: FoldedBM25, k: int):
                 decoded[i] = hit
             return hit
 
-        # invert the per-row query lists -> per-query row lists
-        per_q: dict[int, list] = {}
-        for i, qids in enumerate(pdf["query_ids"]):
-            for qid in qids:
-                per_q.setdefault(int(qid), []).append(i)
+        # token -> its candidate rows in this bucket (pdf order, so
+        # same-token rows keep a deterministic relative order)
+        tok2rows: dict = {}
+        for i, t in enumerate(toks):
+            tok2rows.setdefault(t, []).append(i)
 
-        # batch dedup: queries with the same in-vocab term set have the
+        # batch dedup: queries with the same in-bucket term set have the
         # same result — score each distinct set once and fan out. With
         # skewed real-world query logs (and small vocabularies) this
-        # collapses a large fraction of the per-query work.
+        # collapses a large fraction of the per-query work. The sig is
+        # the sorted token tuple; row sets/order are identical to the
+        # former per-row inversion (token-sorted, stable within token).
         by_sig: dict[tuple, list] = {}
-        for qid in sorted(per_q):
-            sig = tuple(sorted(per_q[qid], key=lambda i: toks[i]))
-            by_sig.setdefault(sig, []).append(qid)
+        for qid, qtoks in bq.value.items():
+            if query_groups > 1 and qid % query_groups != qgrp:
+                continue
+            sig = tuple(sorted(t for t in qtoks if t in tok2rows))
+            if sig:
+                by_sig.setdefault(sig, []).append(qid)
+        by_sig = {s: sorted(q) for s, q in sorted(by_sig.items())}
 
         # span-sized dense accumulator, reused across (query, range):
         # doc ids inside one term block are unique, so scoring a range is
@@ -109,8 +124,9 @@ def _bucket_kernel(bm25: FoldedBM25, k: int):
         dense = np.zeros(span)
 
         out_q, out_d, out_s = [], [], []
-        for idxs, qids in by_sig.items():
-            # idxs are already in token order (deterministic summation)
+        for sig, qids in by_sig.items():
+            # rows in token order (deterministic summation)
+            idxs = [i for t in sig for i in tok2rows[t]]
             by_block: dict[int, list] = {}
             for i in idxs:
                 by_block.setdefault(int(bids[i]), []).append(i)
@@ -193,6 +209,7 @@ def search_bm25_wand(
     query_groups: int = 1,
     typo_tolerant: bool = False,
     maxdist: float = 0.7,
+    prune_scan: bool = True,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to search_bm25.
 
@@ -234,21 +251,41 @@ def search_bm25_wand(
     if id_col != "query_id":
         q = q.withColumnRenamed(id_col, "query_id")
 
-    from .search import prune_postings_by_terms
+    # ONE pre-job: collect the distinct (query_id, token) relation —
+    # bounded by batch_size x query terms (callers split huge batches;
+    # queries are independent). It becomes (a) a broadcast VARIABLE
+    # {query_id: term tuple} read by the kernel, and (b) the distinct
+    # term set for the candidate join + optional scan pushdown. The
+    # candidate rows stay BARE (token, block) — no per-row id lists.
+    qrows = q.collect()
+    qmap: dict = {}
+    for r in qrows:
+        qmap.setdefault(int(r.query_id), []).append(r.token)
+    qmap = {qid: tuple(sorted(ts)) for qid, ts in qmap.items()}
+    if not qmap:
+        empty = spark.createDataFrame(
+            [], f"{id_col} long, rank int, doc_id long, score double")
+        return empty
+    bq = spark.sparkContext.broadcast(qmap)
+    terms = sorted({t for ts in qmap.values() for t in ts})
 
-    blocks = prune_postings_by_terms(index.blocks, q)
-    # (token, query_group) -> sorted query_id list: a blob crosses the
-    # wire once per query GROUP, never per query
-    qagg = q.withColumn(
-        "qgrp", F.pmod(F.col("query_id"), F.lit(query_groups))
-    ).groupBy("token", "qgrp").agg(
-        F.sort_array(F.collect_list("query_id")).alias("query_ids")
-    )
-    cand = blocks.join(F.broadcast(qagg), "token").withColumn(
-        "bucket", F.pmod(F.col("block_id"), F.lit(n_buckets))
-    )
+    blocks = index.blocks
+    from .search import PRUNE_MAX_TERMS
+
+    if prune_scan and len(terms) <= PRUNE_MAX_TERMS:
+        # literal IN reaches parquet/Iceberg row-group min-max pruning
+        # on a persisted index; pointless for cached in-memory blocks
+        blocks = blocks.filter(F.col("token").isin(terms))
+    qtok = spark.createDataFrame([(t,) for t in terms], "token string")
+    cand = blocks.join(F.broadcast(qtok), "token")
+    if query_groups > 1:
+        groups = spark.range(query_groups).select(F.col("id").cast("int").alias("qgrp"))
+        cand = cand.crossJoin(F.broadcast(groups))
+    else:
+        cand = cand.withColumn("qgrp", F.lit(0))
+    cand = cand.withColumn("bucket", F.pmod(F.col("block_id"), F.lit(n_buckets)))
     local = cand.groupBy("bucket", "qgrp").applyInPandas(
-        _bucket_kernel(index.bm25, k), _OUT_SCHEMA
+        _bucket_kernel(index.bm25, k, bq, query_groups), _OUT_SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
