@@ -635,6 +635,41 @@ def q_bm25_topk_typo(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 4).alias("score4"))
 
 
+def q_media_headers(spark, sf_dir):
+    """Real container-header metadata extraction (no codec libs): each
+    doc synthesizes a deterministic PNG/BMP/WAV payload (dims derived
+    from doc_id/text length), and the pipeline recovers the metadata by
+    PARSING the binary headers inside mapInPandas — the oracle computes
+    the expected values in closed form, so a parser bug hash-mismatches."""
+    import pandas as pd
+
+    from textsearch_spark.functions import mediaheaders as mh
+
+    docs = _docs(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                w = did % 100 + 1
+                h = len(text) % 200 + 1
+                kind = did % 3
+                if kind == 0:
+                    payload = mh.make_png(w, h)
+                elif kind == 1:
+                    payload = mh.make_bmp(w, h)
+                else:
+                    payload = mh.make_wav(2, 8000, 16, (w * h) % 977)
+                m = mh.sniff_media(payload)
+                rows.append((did, m["format"], m["width"], m["height"], m["n_frames"]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "format", "width", "height", "n_frames"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id long, format string, width int, height int, n_frames int")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_unigrams": q_vocab,
@@ -683,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dvec_algebra": q_dvec_algebra,
         "entropy_model_combiners": q_entropy_combiners,
         "bm25_topk_typo": q_bm25_topk_typo,
+        "media_headers": q_media_headers,
     }
 
 
@@ -1107,6 +1143,16 @@ SELECT v.token, v.occs, v.ndocs,
 FROM voc v JOIN ent e USING (token)
 """,
         "bm25_topk_typo": _bm25_typo_sql(),
+        "media_headers": """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 3 = 2 THEN 0 ELSE doc_id % 100 + 1 END AS width,
+       CASE WHEN doc_id % 3 = 2 THEN 0 ELSE length(text) % 200 + 1 END AS height,
+       CASE WHEN doc_id % 3 = 2
+            THEN ((doc_id % 100 + 1) * (length(text) % 200 + 1)) % 977
+            ELSE 1 END AS n_frames
+FROM documents
+""",
         "dvec_distances": """
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
              FROM documents WHERE doc_id < 10),

@@ -30,7 +30,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_SCALING=0 to skip the scaling runs,
      SPARK_GRAFT_SCALING_N (default 4; legs at N and 4N cores),
-     SPARK_GRAFT_SCALING_RUNS (default 3 alternated pairs),
+     SPARK_GRAFT_SCALING_RUNS (default 3 concurrent pairs),
      SPARK_GRAFT_SYNTH_DOCS (default 960000 — sized so the ~5-7s of
      per-leg fixed cost (job scheduling, codegen, broadcasts) stays
      under ~15% of the 4N leg; smaller corpora understate scaling).
@@ -325,7 +325,7 @@ def main():
         # lets the host return to the same thermal baseline; raw leg
         # timings are reported so the spread is visible.
         n_big = 4 * n_small
-        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
         cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_SEC", "10"))
         corpus_path = _gen_scaling_corpus(synth_docs, cpus)
         pairs = []

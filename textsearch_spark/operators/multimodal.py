@@ -1,12 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride through the pipeline as ``binary`` columns with
-a metadata struct. The Spark-side plumbing (schema, Arrow batch shape,
-partitioning, UDF signatures) is real and tested; the actual media
-decode is STUBBED — this container ships no image/audio libs — behind
-``decode_stub``, which raises NotImplementedError unless
-``deterministic_fake=True``, in which case it derives fake
-(width, height, n_frames) from the payload sha256 so tests are stable.
+a metadata struct. Two tiers:
+
+- **container-header metadata is REAL**: PNG/JPEG/GIF/BMP/PPM/WAV
+  headers are parsed byte-level (functions/mediaheaders.py — no codec
+  libraries needed), yielding true dimensions / frame counts / audio
+  params; oracle-checked via the ``media_headers`` entry.
+- **pixel/sample decode is STUBBED** — this container ships no
+  image/audio codec libs — behind ``decode_stub``, which raises
+  NotImplementedError unless ``deterministic_fake=True`` (fake dims
+  derived from the payload sha256 so tests stay stable). Real
+  deployments drop PIL/ffmpeg into the same mapInPandas batch loop.
 """
 
 from __future__ import annotations
@@ -16,6 +21,8 @@ import hashlib
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.mediaheaders import sniff_media
 
 MEDIA_META_SCHEMA = (
     "doc_id long, n_bytes long, content_sha string, media_type string, "
@@ -55,12 +62,22 @@ def decode_stub(payload: bytes, *, deterministic_fake: bool = False):
 
 def extract_media_meta(media: DataFrame, *, deterministic_fake: bool = True) -> DataFrame:
     """mapInPandas feature extraction over Arrow batches of binary
-    payloads — the decode/resize/frame-sample slot in a real pipeline."""
+    payloads — the decode/resize/frame-sample slot in a real pipeline.
+
+    A payload in a recognized container format gets its TRUE header
+    metadata (sniff_media); anything else falls through to the decode
+    stub (see module docstring)."""
+
+    def one(p: bytes):
+        m = sniff_media(p)
+        if m is not None:
+            return {"width": m["width"], "height": m["height"],
+                    "n_frames": m["n_frames"]}
+        return decode_stub(p, deterministic_fake=deterministic_fake)
 
     def extract(batches):
         for pdf in batches:
-            metas = [decode_stub(bytes(p), deterministic_fake=deterministic_fake)
-                     for p in pdf["payload"]]
+            metas = [one(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
