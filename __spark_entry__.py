@@ -670,6 +670,40 @@ def q_media_headers(spark, sf_dir):
         gen, "doc_id long, format string, width int, height int, n_frames int")
 
 
+def q_bm25_topk_appended(spark, sf_dir):
+    """append_items! semantics end-to-end: fit+save an index on the
+    first half of the corpus, APPEND the second half with frozen
+    vocab/constants (streaming/append.py), then batch top-k. The
+    oracle recomputes the same frozen-stat scores in closed form."""
+    import shutil
+    import tempfile
+
+    from textsearch_spark.operators.postings import build_posting_blocks
+    from textsearch_spark.operators.search import search_bm25
+    from textsearch_spark.plans.build import build_bm25_index
+    from textsearch_spark.sources.io import load_index, save_index
+    from textsearch_spark.streaming.append import append_batch_to_index
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    base = docs.filter(F.col("doc_id") <= mid)
+    rest = docs.filter(F.col("doc_id") > mid)
+    path = tempfile.mkdtemp(prefix="ts_append_oracle_")
+    try:
+        idx = build_bm25_index(base, _cfg())
+        idx.blocks = build_posting_blocks(idx.postings, span=256)
+        save_index(idx, path)
+        append_batch_to_index(spark, path, rest, doc_col="doc_id")
+        idx2 = load_index(spark, path)
+        res = search_bm25(idx2, _query_df(spark), TOP_K).select(
+            "query_id", "rank", "doc_id", F.round("score", 4).alias("score4")
+        )
+        # materialize before the temp index dir disappears
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_unigrams": q_vocab,
@@ -719,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_model_combiners": q_entropy_combiners,
         "bm25_topk_typo": q_bm25_topk_typo,
         "media_headers": q_media_headers,
+        "bm25_topk_appended": q_bm25_topk_appended,
     }
 
 
@@ -1143,6 +1178,50 @@ SELECT v.token, v.occs, v.ndocs,
 FROM voc v JOIN ent e USING (token)
 """,
         "bm25_topk_typo": _bm25_typo_sql(),
+        # frozen-stat append: vocab/N/avgdl fit on the first half of the
+        # corpus; the second half contributes postings only (OOV drops,
+        # in-vocab doclen), exactly append_items! (src/bm25invfile.jl)
+        "bm25_topk_appended": f"""
+WITH mid AS (SELECT max(doc_id) // 2 AS m FROM documents),
+btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents WHERE doc_id <= (SELECT m FROM mid)),
+bbow AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM btok GROUP BY 1, 2),
+bvoc AS (SELECT token, count(*)::BIGINT AS ndocs FROM bbow GROUP BY token),
+bstats AS (
+  SELECT (SELECT count(*) FROM documents WHERE doc_id <= (SELECT m FROM mid))::DOUBLE AS n_docs,
+         (SELECT sum(tf) FROM bbow)::DOUBLE
+           / (SELECT count(*) FROM documents WHERE doc_id <= (SELECT m FROM mid)) AS avgdl
+),
+bdl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM bbow GROUP BY doc_id),
+rtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents WHERE doc_id > (SELECT m FROM mid)),
+rbow AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM rtok GROUP BY 1, 2),
+rbow_f AS (SELECT r.doc_id, r.token, r.tf FROM rbow r JOIN bvoc USING (token)),
+rdl AS (SELECT doc_id, sum(tf)::BIGINT AS doclen FROM rbow_f GROUP BY doc_id),
+allpost AS (
+  SELECT b.doc_id, b.token, b.tf, d.doclen FROM bbow b JOIN bdl d USING (doc_id)
+  UNION ALL
+  SELECT r.doc_id, r.token, r.tf, d.doclen FROM rbow_f r JOIN rdl d USING (doc_id)
+),
+q(query_id, token) AS (SELECT * FROM (VALUES {_query_values_sql()})),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1.0 + (s.n_docs - v.ndocs + 0.5)/(v.ndocs + 0.5))
+              * ( p.tf * (1.2 + 1.0)
+                  / (p.tf + 1.2 * (1.0 - 0.75) + p.doclen * (1.2 * 0.75 / s.avgdl))
+                  + 1.0) ) AS score
+  FROM q
+  JOIN allpost p USING (token)
+  JOIN bvoc v USING (token)
+  CROSS JOIN bstats s
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, rank, doc_id, round(score, 4) AS score4 FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""",
         "media_headers": """
 SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,

@@ -83,6 +83,13 @@ def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
     idx.blocks.count()
     timings["blocks"] = time.time() - t0
 
+    from textsearch_spark.plans.build import build_bm25_index_direct
+
+    t0 = time.time()
+    build_bm25_index_direct(docs, TextConfig(nlist=[1]), span=256,
+                            cache=False).blocks.count()
+    timings["build_direct"] = time.time() - t0
+
     texts = [r.text for r in docs.select("text").limit(500).collect()]
     nq = 512
     qdf = _mk_queries(spark, texts, nq).cache()

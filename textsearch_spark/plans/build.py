@@ -127,8 +127,8 @@ def build_bm25_index(
     )
     if cache:
         postings = postings.cache()
-    # doclens table derives from the postings partitioning (no extra
-    # shuffle thanks to the shared doc_id exchange)
+    # doclens: one small groupBy over the (cached) postings — its own
+    # doc_id exchange, but the output is one row per doc
     doclens = postings.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
 
     return BM25Index(

@@ -1,0 +1,167 @@
+"""Incremental index APPEND — the reference's ``append_items!``
+(src/bm25invfile.jl:118-128) as batch + Structured Streaming operators
+over the persisted block index.
+
+Reference semantics, kept exactly:
+
+- the vocabulary and the folded BM25 constants are FROZEN at fit time:
+  ``append_items!`` bags new docs with ``idx.voc``
+  (src/bm25invfile.jl:119), so unseen tokens drop (OOV), per-token
+  ndocs stay the fit-time values (queries read ``ndocs(idx.voc, t)``,
+  src/bm25invfilesearch.jl:17), and N/avgdl are not refit;
+- an appended doc's ``doclen`` counts its in-vocabulary tokens
+  (internal_push_object!'s ``len += freq`` over the fixed-voc BOW,
+  src/bm25invfile.jl:143-152).
+
+Scale shape: appended docs take ids above the high-water mark, so
+their postings land in NEW doc-range blocks (plus at most one shared
+boundary block id per token — the WAND kernel accumulates multiple
+rows of one block id correctly, so no read-modify-write of existing
+blocks is ever needed; an append is a pure parquet/Iceberg APPEND).
+Each append writes a manifest keyed by its batch id, making streaming
+retries idempotent (a replayed epoch is skipped).
+
+Drift note: like the reference, long-running appends make fit-time
+N/avgdl/ndocs progressively stale; the correction path is a fresh
+checkpointed rebuild (plans/checkpoint.py), not in-place mutation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import TextConfig
+from ..functions.bm25 import tokenscore_expr
+from ..functions.udfs import bow_long
+from ..operators.postings import build_posting_blocks
+from ..plans.build import POSTING_COLS
+from ..sources.io import load_index
+
+
+def _append_manifest_path(index_dir: str, batch_id) -> str:
+    return os.path.join(index_dir, "_manifests", f"append_{batch_id}.json")
+
+
+def high_water_mark(spark: SparkSession, index_dir: str) -> int:
+    """Largest doc_id currently in the index (from the doclens table)."""
+    p = os.path.join(index_dir, "doclens")
+    spark.catalog.refreshByPath(p)
+    row = spark.read.parquet(p).agg(F.max("doc_id")).collect()[0]
+    return int(row[0] or 0)
+
+
+def append_batch_to_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    *,
+    doc_col: Optional[str] = None,
+    text_col: str = "text",
+    batch_id=None,
+) -> dict:
+    """Append one batch of documents to a persisted block index.
+
+    ``doc_col``: column with caller-assigned doc ids (must be above the
+    high-water mark); None auto-assigns ``hwm + 1 ..`` in the batch's
+    deterministic sort order. Returns the append metrics dict (also
+    written to the manifest). A batch_id whose manifest already exists
+    is skipped (idempotent streaming retry).
+    """
+    if batch_id is not None and os.path.exists(_append_manifest_path(index_dir, batch_id)):
+        with open(_append_manifest_path(index_dir, batch_id)) as f:
+            return json.load(f)["metrics"]
+
+    t0 = time.time()
+    idx = load_index(spark, index_dir)
+    assert idx.blocks is not None, "append requires a block index (save with blocks)"
+    span = int(idx.blocks.select("span").limit(1).collect()[0][0])
+    hwm = high_water_mark(spark, index_dir)
+
+    if doc_col is None:
+        w = Window.orderBy(text_col)  # batch-local: micro-batches are small
+        docs = new_docs.withColumn("doc_id", F.row_number().over(w) + F.lit(hwm))
+    else:
+        docs = new_docs.withColumnRenamed(doc_col, "doc_id") if doc_col != "doc_id" else new_docs
+        low = docs.agg(F.min("doc_id")).collect()[0][0]
+        if low is not None and low <= hwm:
+            raise ValueError(f"appended doc_id {low} <= high-water mark {hwm}")
+
+    n_new = docs.count()
+    bow = bow_long(docs, idx.cfg, text_col=text_col)
+    # frozen-vocab join: OOV drops; ndocs = fit-time values
+    bow_f = bow.join(idx.vocab.select("token", "ndocs"), "token")
+    # appended doclen counts in-vocabulary tokens (src/bm25invfile.jl:143-152)
+    wdoc = Window.partitionBy("doc_id")
+    bow_f = bow_f.withColumn("doclen", F.sum("tf").over(wdoc))
+    postings = bow_f.withColumn(
+        "impact",
+        tokenscore_expr(
+            idx.bm25,
+            F.col("ndocs").cast("double"),
+            F.col("doclen").cast("double"),
+            F.col("tf").cast("double"),
+        ),
+    ).select(*POSTING_COLS)
+
+    postings = postings.cache()
+    new_blocks = build_posting_blocks(postings, span=span)
+    new_blocks.write.mode("append").parquet(os.path.join(index_dir, "blocks"))
+    # keep the long-form postings (naive scorer) and doclens in step
+    postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+    doclens = postings.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
+    doclens.write.mode("append").parquet(os.path.join(index_dir, "doclens"))
+    postings.unpersist()
+
+    spark.catalog.refreshByPath(os.path.join(index_dir, "blocks"))
+    metrics = {
+        "n_docs_appended": n_new,
+        "first_doc": hwm + 1 if doc_col is None else int(low),
+        "append_sec": round(time.time() - t0, 3),
+        "span": span,
+    }
+    if batch_id is not None:
+        os.makedirs(os.path.join(index_dir, "_manifests"), exist_ok=True)
+        doc = {"stage": f"append_{batch_id}", "metrics": metrics,
+               "lineage": {"parents": ["index", "blocks"]},
+               "completed_at": time.time(), "complete": True}
+        tmp = _append_manifest_path(index_dir, batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        os.replace(tmp, _append_manifest_path(index_dir, batch_id))
+    return metrics
+
+
+def stream_append_to_index(
+    stream_df: DataFrame,
+    index_dir: str,
+    *,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """readStream docs -> incremental index appends, one per
+    micro-batch (foreachBatch). Returns the started StreamingQuery.
+    Batch ids key the append manifests, so Structured Streaming's
+    replay-on-failure semantics stay exactly-once at the index level."""
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_batch_to_index(
+            batch_df.sparkSession, index_dir, batch_df,
+            text_col=text_col, batch_id=batch_id,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(update).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -21,8 +21,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-INDEX_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ts_stress_index"
+_IS_CHILD = len(sys.argv) >= 4 and sys.argv[1] == "--child"
+N_DOCS = 2_000_000 if _IS_CHILD else (int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000)
+INDEX_DIR = sys.argv[2] if (len(sys.argv) > 2 and not _IS_CHILD) else "/tmp/ts_stress_index"
 
 
 def _build_once(corpus_path: str, index_dir: str):
