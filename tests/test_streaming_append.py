@@ -96,6 +96,38 @@ def test_append_idempotent_batch_id(spark, golden_corpus_df, tmp_path):
     assert idx.doclens.filter("doc_id = 8").count() == 1
 
 
+def test_compact_fragmented_blocks(spark, golden_corpus_df, tmp_path):
+    """An append whose ids land inside the tail block fragments it
+    (two rows per (token, block_id)); compaction merges them and WAND
+    results are unchanged."""
+    from textsearch_spark.operators.postings import compact_blocks
+
+    path = str(tmp_path / "idx")
+    idx = build_bm25_index(golden_corpus_df, CFG)
+    idx.blocks = build_posting_blocks(idx.postings, span=5)  # block 1 = ids 5..9
+    save_index(idx, path)
+    new = spark.createDataFrame(
+        [(8, "la manzana verde"), (9, "la hoja roja")], "doc_id long, text string"
+    )
+    append_batch_to_index(spark, path, new, doc_col="doc_id")
+    idx = load_index(spark, path)
+
+    frag = idx.blocks.groupBy("token", "block_id").count().filter("count > 1")
+    assert frag.filter("token = 'la' AND block_id = 1").count() == 1  # fragmented
+
+    q = spark.createDataFrame([(0, "la manzana verde")], "query_id long, qtext string")
+    before = sorted((r.rank, r.doc_id, round(r.score, 10))
+                    for r in search_bm25_wand(idx, q, 6, n_buckets=2).collect())
+
+    compacted = compact_blocks(idx.blocks, idx.bm25)
+    assert compacted.groupBy("token", "block_id").count().filter("count > 1").count() == 0
+    assert compacted.agg(F.sum("n")).collect()[0][0] == idx.blocks.agg(F.sum("n")).collect()[0][0]
+    idx.blocks = compacted
+    after = sorted((r.rank, r.doc_id, round(r.score, 10))
+                   for r in search_bm25_wand(idx, q, 6, n_buckets=2).collect())
+    assert before == after
+
+
 def test_stream_append_file_source(spark, golden_corpus_df, tmp_path):
     path = str(tmp_path / "idx")
     _base_index(spark, golden_corpus_df, path)

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
-from ..functions.codec import encode_block
+from ..functions.codec import decode_block, encode_block
 
 DEFAULT_BLOCK_SPAN = 4096
 
@@ -144,6 +144,72 @@ def build_posting_blocks_from_bow(bow: DataFrame, bm25, *, span: int = DEFAULT_B
         F.col("__e.max_impact").alias("max_impact"), "span",
         F.col("__e.blob").alias("blob"),
     )
+
+
+def compact_blocks(blocks: DataFrame, bm25) -> DataFrame:
+    """Merge fragmented block rows — maintenance after streaming appends.
+
+    Appends never rewrite existing rows, so a (token, block_id) whose
+    doc range straddles an append boundary accumulates multiple rows.
+    The WAND kernel scores fragmented blocks correctly (it accumulates
+    every row of a block id), at the cost of per-fragment decode and
+    weaker block-max pruning (per-fragment maxima). Compaction decodes
+    each fragmented group once, merges the entries in docID order, and
+    re-encodes a single row; untouched singleton rows pass through
+    unchanged (no re-encode). Runs as one bounded groupBy on the block
+    table — never wider than ``span`` entries per group."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..functions.bm25 import tokenscore_np
+
+    rt = StructType([
+        StructField("blob", BinaryType()),
+        StructField("max_impact", DoubleType()),
+    ])
+
+    @pandas_udf(rt)
+    def merge(blob_lists: pd.Series, ndocs: pd.Series) -> pd.DataFrame:
+        blobs_out, maxes = [], []
+        for blobs, nd in zip(blob_lists, ndocs):
+            parts = [decode_block(bytes(b)) for b in blobs]
+            docs = np.concatenate([p[0] for p in parts])
+            tfs = np.concatenate([p[1] for p in parts])
+            dls = np.concatenate([p[2] for p in parts])
+            order = np.argsort(docs, kind="stable")
+            docs, tfs, dls = docs[order], tfs[order], dls[order]
+            blobs_out.append(encode_block(docs, tfs, dls))
+            scores = tokenscore_np(bm25, np.full(len(docs), float(nd)), dls, tfs)
+            maxes.append(float(scores.max()) if len(docs) else 0.0)
+        return pd.DataFrame({"blob": blobs_out, "max_impact": maxes})
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("token", "block_id")
+    b = blocks.withColumn("__frag", F.count("*").over(w))
+    singles = b.filter(F.col("__frag") == 1).drop("__frag")
+    frag = (
+        b.filter(F.col("__frag") > 1).drop("__frag")
+        .groupBy("token", "block_id", "span")
+        .agg(
+            F.collect_list("blob").alias("__blobs"),
+            F.sum("n").alias("n"),
+            F.min("first_doc").alias("first_doc"),
+            F.max("last_doc").alias("last_doc"),
+            F.max("ndocs").alias("ndocs"),  # fit-frozen; rows agree
+        )
+        .select(
+            "token", "block_id", "n", "first_doc", "last_doc", "ndocs",
+            "span", merge(F.col("__blobs"), F.col("ndocs")).alias("__m"),
+        )
+        .select(
+            "token", "block_id", "n", "first_doc", "last_doc", "ndocs",
+            F.col("__m.max_impact").alias("max_impact"), "span",
+            F.col("__m.blob").alias("blob"),
+        )
+    )
+    return singles.select(*BLOCKS_COLUMNS).unionByName(frag.select(*BLOCKS_COLUMNS))
 
 
 def build_posting_blocks(postings: DataFrame, *, span: int = DEFAULT_BLOCK_SPAN) -> DataFrame:
