@@ -670,6 +670,16 @@ def q_media_headers(spark, sf_dir):
         gen, "doc_id long, format string, width int, height int, n_frames int")
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: deterministic md5-sampled centroids, nprobe
+    nearest inverted lists per query, exact cosine + bounded top-k."""
+    from textsearch_spark.operators.simsearch import ivf_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    res = ivf_cosine_topk(emb, list(range(20)), k=5, n_centroids=16, nprobe=4)
+    return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
+
+
 def q_bm25_topk_appended(spark, sf_dir):
     """append_items! semantics end-to-end: fit+save an index on the
     first half of the corpus, APPEND the second half with frozen
@@ -754,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_typo": q_bm25_topk_typo,
         "media_headers": q_media_headers,
         "bm25_topk_appended": q_bm25_topk_appended,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
 
@@ -1178,6 +1189,48 @@ SELECT v.token, v.occs, v.ndocs,
 FROM voc v JOIN ent e USING (token)
 """,
         "bm25_topk_typo": _bm25_typo_sql(),
+        # IVF-flat: centroids = 16 corpus vectors with smallest
+        # md5(vec_id); assign by argmax(dot - |c|^2/2), ties -> smallest
+        # centroid id; probe the 4 nearest lists; exact cosine top-5
+        "embedding_ivf_topk": """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS cid FROM embeddings
+          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+cent AS (SELECT cid, e.v AS cv, 0.5 * list_dot_product(e.v, e.v) AS csq
+         FROM seeds JOIN emb e ON e.vec_id = seeds.cid),
+assign AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY (list_dot_product(e.v, c.cv) - c.csq) DESC, c.cid ASC) AS rn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qv AS (SELECT vec_id AS query_id, v AS qvec FROM emb WHERE vec_id < 20),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY (list_dot_product(q.qvec, c.cv) - c.csq) DESC, c.cid ASC) AS rn
+    FROM qv q CROSS JOIN cent c
+  ) WHERE rn <= 4
+),
+s AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qvec)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qvec, q.qvec))) AS cos
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.cid
+  JOIN emb e ON e.vec_id = a.vec_id
+  JOIN qv q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos4 FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
         # frozen-stat append: vocab/N/avgdl fit on the first half of the
         # corpus; the second half contributes postings only (OOV drops,
         # in-vocab doclen), exactly append_items! (src/bm25invfile.jl)

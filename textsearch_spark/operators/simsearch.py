@@ -190,6 +190,116 @@ def lsh_near_dup_pairs(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: adds a ``centroid_id`` column.
+
+    Centroids are the ``n_centroids`` corpus vectors with the smallest
+    md5(vec_id) — a deterministic pseudo-random sample, reproducible by
+    the SQL oracle (no Lloyd iterations: at 100TB the quantizer is
+    trained once offline anyway; any centroid set partitions the space,
+    and determinism is what makes the structure verifiable). Assignment
+    is argmin L2 distance == argmax (dot - |c|^2/2) over the broadcast
+    centroid matrix, one numpy matmul per Arrow batch."""
+    spark = embeddings.sparkSession
+    seeds = (
+        embeddings.select(id_col)
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(n_centroids)
+    )
+    crows = (
+        embeddings.join(F.broadcast(seeds.select(id_col)), id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    crows.sort(key=lambda r: r[0])
+    c_ids = np.array([r[0] for r in crows], dtype=np.int64)
+    c_mat = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    c_sq = 0.5 * np.einsum("ij,ij->i", c_mat, c_mat)
+    bc = spark.sparkContext.broadcast((c_ids, c_mat, c_sq))
+
+    @pandas_udf("long")
+    def assign(vecs: pd.Series) -> pd.Series:
+        ids, mat, sq = bc.value
+        x = _to_matrix(vecs)
+        # argmin |x-c|^2 == argmax (x.c - |c|^2/2); ties -> smallest
+        # centroid id (ids are sorted, argmax returns the first max)
+        scores = x @ mat.T - sq
+        return pd.Series(ids[np.argmax(scores, axis=1)])
+
+    return embeddings.withColumn("centroid_id", assign(F.col(vec_col)))
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: each query scans only the ``nprobe``
+    inverted lists whose centroids are nearest to it, then exact cosine
+    + bounded top-k. (query_id, rank, neighbor_id, cos).
+
+    Scale shape: the corpus is hash-partitioned by centroid_id (the
+    inverted lists); queries are a broadcast side carrying their probe
+    sets, so the join touches corpus rows in probed lists only —
+    n*nprobe/n_centroids of the table per query instead of all of it."""
+    assigned = ivf_assign(embeddings, n_centroids, id_col=id_col, vec_col=vec_col).cache()
+
+    # query probe lists: nprobe nearest centroids by the same L2 rule
+    qrows = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        id_col, vec_col).collect()
+    seeds = (
+        assigned.select(F.col("centroid_id").alias("cid")).distinct()
+        .join(assigned.select(F.col(id_col).alias("cid"), vec_col), "cid")
+        .collect()
+    )
+    seeds.sort(key=lambda r: r[0])
+    c_ids = np.array([r[0] for r in seeds], dtype=np.int64)
+    c_mat = np.array([list(r[1]) for r in seeds], dtype=np.float64)
+    c_sq = 0.5 * np.einsum("ij,ij->i", c_mat, c_mat)
+
+    probes = []
+    for r in qrows:
+        x = np.array(list(r[1]), dtype=np.float64)
+        scores = c_mat @ x - c_sq
+        order = np.lexsort((c_ids, -scores))[:nprobe]
+        for cid in c_ids[order]:
+            probes.append((int(r[0]), int(cid)))
+    spark = embeddings.sparkSession
+    qprobe = spark.createDataFrame(probes, "query_id long, centroid_id long")
+    qvecs = spark.createDataFrame(
+        [(int(r[0]), list(map(float, r[1]))) for r in qrows],
+        f"query_id long, qvec array<double>",
+    )
+
+    cand = (
+        assigned.join(F.broadcast(qprobe), "centroid_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cand.select(
+        "query_id", F.col(id_col).alias("neighbor_id"),
+        _cos_udf(F.col(vec_col), F.col("qvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
