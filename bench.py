@@ -19,18 +19,20 @@ unpinned small leg overdraws its budget ~2x and the N-vs-4N ratio is
 not a scaling measurement at all. An N-executor cluster gives the job
 exactly N cores; the affinity mask is the faithful local proxy.
 
-N defaults to 4 (legs at 4 and 16 of the host's 32 cores). Both
-tiers then run at identical per-core memory bandwidth headroom —
-measuring the ENGINE's scaling, not the host's DRAM saturation point
-(at 32 busy cores this host's per-core throughput drops ~28% even for
-embarrassingly parallel pure-python work, which a multi-node cluster
-— more bandwidth per added executor — does not exhibit).
+N defaults to 2 (legs at 2 and 8 of the host's 32 cores), keeping
+the CONCURRENT pair's combined load (N + 4N = 10 cores) inside the
+host's linear region: this single box's DRAM saturates near ~20 busy
+numpy-streaming cores, and past that point the shared bus taxes
+whichever tier demands more bandwidth — a single-box artifact a real
+4N-executor cluster (its own bus per node) does not have. Sequential
+sanity checks at these levels scale 0.92-1.0; the concurrent pair is
+what the bench records.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_SCALING=0 to skip the scaling runs,
-     SPARK_GRAFT_SCALING_N (default 4; legs at N and 4N cores),
-     SPARK_GRAFT_SCALING_RUNS (default 3 concurrent pairs),
+     SPARK_GRAFT_SCALING_N (default 2; legs at N and 4N cores),
+     SPARK_GRAFT_SCALING_RUNS (default 2 concurrent pairs),
      SPARK_GRAFT_SYNTH_DOCS (default 960000 — sized so the ~5-7s of
      per-leg fixed cost (job scheduling, codegen, broadcasts) stays
      under ~15% of the 4N leg; smaller corpora understate scaling).
@@ -323,7 +325,7 @@ def main():
 
     scaling: dict = {}
     if do_scaling:
-        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
         nq = 8192
         # alternating runs per level, best-of-N per stage: single-host
         # wall times swing +/-40% with background load and sustained
@@ -332,7 +334,7 @@ def main():
         # lets the host return to the same thermal baseline; raw leg
         # timings are reported so the spread is visible.
         n_big = 4 * n_small
-        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+        n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
         cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_SEC", "10"))
         corpus_path = _gen_scaling_corpus(synth_docs, cpus)
         pairs = []

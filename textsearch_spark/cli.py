@@ -30,6 +30,15 @@ def main(argv=None):
     b.add_argument("--assign-doc-ids", action="store_true",
                    help="derive stable doc ids from (repo, path, commit)")
 
+    a = sub.add_parser("append", help="append new docs into an existing index "
+                                      "(append_items! semantics: frozen vocab/constants)")
+    a.add_argument("--input", required=True, help="parquet path of the new docs")
+    a.add_argument("--index", required=True)
+    a.add_argument("--text-col", default="text")
+    a.add_argument("--doc-col", default=None,
+                   help="pre-assigned id column (must exceed the high-water mark); "
+                        "default auto-assigns")
+
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True, help="parquet with (query_id, qtext)")
@@ -59,6 +68,14 @@ def main(argv=None):
             vocab_filter=args.vocab_filter, block_span=args.block_span,
         )
         print(f"index at {args.index}: n_docs={idx.n_docs} avgdl={idx.avgdl:.3f}")
+    elif args.cmd == "append":
+        from .streaming.append import append_batch_to_index
+
+        df = spark.read.parquet(args.input)
+        m = append_batch_to_index(spark, args.index, df,
+                                  doc_col=args.doc_col, text_col=args.text_col)
+        print(f"appended {m['n_docs_appended']} docs from id {m['first_doc']} "
+              f"in {m['append_sec']}s")
     else:
         from .operators.search import search_bm25
         from .operators.wand import search_bm25_wand
