@@ -301,7 +301,8 @@ def q_minhash_signatures(spark, sf_dir):
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from textsearch_spark.operators.dedup import ngram_jaccard_pairs
 
-    res = ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.18)
+    res = ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_n=3, threshold=0.18,
+                              max_df_ratio=0.2)
     return res.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard4"))
 
 
@@ -1399,11 +1400,13 @@ SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
 FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
 """,
         # candidate generation excludes hot shingles (df > ceiling =
-        # max(2, int(0.2 * n_docs)), dedup.ngram_jaccard_pairs); the
-        # Jaccard itself still uses the full shingle sets
+        # max(2, int(0.2 * n_docs)), dedup.ngram_jaccard_pairs with the
+        # opt-in max_df_ratio=0.2); the Jaccard itself still uses the
+        # full shingle sets. floor() matches Python int() truncation
+        # (the bare ::INT cast ROUNDS in DuckDB).
         "ngram_jaccard_pairs": f"""
 WITH sh AS ({_shingle_sql(3)}),
-ceil_ AS (SELECT greatest(2, (0.2 * (SELECT count(DISTINCT doc_id) FROM documents))::INT) AS c),
+ceil_ AS (SELECT greatest(2, floor(0.2 * (SELECT count(DISTINCT doc_id) FROM documents))::INT) AS c),
 rare AS (
   SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
   WHERE df <= (SELECT c FROM ceil_)

@@ -121,31 +121,37 @@ def minhash_lsh_dedup(df: DataFrame, *, doc_col: str = "doc_id", text_col: str =
 
 def ngram_jaccard_pairs(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text",
                         shingle_n: int = 3, threshold: float = 0.5,
-                        max_df_ratio: float = 0.2) -> DataFrame:
-    """Exhaustive near-dup baseline: all pairs sharing >= 1 *rare*
-    shingle, exact Jaccard >= threshold (Jaccard itself is computed over
-    the full shingle sets).
+                        max_df_ratio: float = 1.0) -> DataFrame:
+    """Exhaustive near-dup baseline: all pairs sharing >= 1 shingle,
+    exact Jaccard >= threshold (Jaccard itself is computed over the
+    full shingle sets).
 
-    ``max_df_ratio`` is the hot-shingle ceiling: shingles contained in
-    more than ``max_df_ratio * n_docs`` documents are excluded from
-    candidate generation (NOT from the Jaccard itself). Without it a
-    single boilerplate shingle shared by m docs (a license header)
-    makes the self-join emit m^2 pairs; with it the join is quadratic
-    only in the per-shingle doc count below the ceiling — the same
-    stop-term guard as approxvoc's ``doc_max_ratio``. Recall caveat: a
-    pair whose every shared shingle is above the ceiling is missed,
-    which for near-duplicates (sharing many shingles) requires ALL
-    their shared shingles to be corpus-hot. Set ``max_df_ratio=1.0``
-    for the fully exhaustive join."""
+    ``max_df_ratio`` is an opt-in hot-shingle ceiling: shingles
+    contained in more than ``floor(max_df_ratio * n_docs)`` documents
+    are excluded from candidate generation (NOT from the Jaccard
+    itself). Without it a single boilerplate shingle shared by m docs
+    (a license header) makes the self-join emit m^2 pairs; with it the
+    join is quadratic only in the per-shingle doc count below the
+    ceiling — the same stop-term guard as approxvoc's
+    ``doc_max_ratio``. Recall caveat: a pair whose every shared shingle
+    is above the ceiling is missed, which for near-duplicates (sharing
+    many shingles) requires ALL their shared shingles to be corpus-hot.
+    The default 1.0 keeps the baseline fully exhaustive (the ceiling
+    never trips); large-scale callers opt into e.g. 0.2."""
     sh = word_shingles(df, shingle_n, doc_col=doc_col, text_col=text_col).cache()
-    n_docs = df.select(doc_col).distinct().count()
-    ceiling = max(2, int(max_df_ratio * n_docs))
-    rare = (
-        sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") <= ceiling)
-        .select("shingle")
-    )
-    sh_rare = sh.join(rare, "shingle")
+    if max_df_ratio < 1.0:
+        n_docs = df.select(doc_col).distinct().count()
+        # floor (Python int() on a non-negative float) — the oracle SQL
+        # must use floor(...)::INT too, not the rounding ::INT cast
+        ceiling = max(2, int(max_df_ratio * n_docs))
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= ceiling)
+            .select("shingle")
+        )
+        sh_rare = sh.join(rare, "shingle")
+    else:
+        sh_rare = sh
     pairs = (
         sh_rare.select(F.col(doc_col).alias("doc_a"), "shingle")
         .join(sh_rare.select(F.col(doc_col).alias("doc_b"), "shingle"), "shingle")

@@ -85,13 +85,41 @@ def append_batch_to_index(
     hwm = high_water_mark(spark, index_dir)
 
     if doc_col is None:
-        w = Window.orderBy(text_col)  # batch-local: micro-batches are small
-        docs = new_docs.withColumn("doc_id", F.row_number().over(w) + F.lit(hwm))
+        # scale-safe auto-id: range-partition + local sort by the text,
+        # then zipWithIndex offset by the high-water mark — contiguous
+        # cross-partition ids in ONE job, same pattern as
+        # sources.corpus.with_doc_ids. (A global Window.orderBy funnels
+        # the whole batch through a single task's sort: fine for small
+        # micro-batches, silently serial for a 10^8-doc bulk append.)
+        from pyspark.sql.types import LongType, StructField
+
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        d = (
+            new_docs.repartitionByRange(n_part, F.col(text_col))
+            .sortWithinPartitions(text_col)
+        )
+        schema = d.schema.add(StructField("doc_id", LongType(), False))
+        docs = spark.createDataFrame(
+            d.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1 + hwm)), schema
+        )
+        low = hwm + 1
     else:
         docs = new_docs.withColumnRenamed(doc_col, "doc_id") if doc_col != "doc_id" else new_docs
-        low = docs.agg(F.min("doc_id")).collect()[0][0]
+        agg = docs.agg(
+            F.min("doc_id").alias("low"),
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+        ).collect()[0]
+        low = agg.low
         if low is not None and low <= hwm:
             raise ValueError(f"appended doc_id {low} <= high-water mark {hwm}")
+        if agg.n != agg.nd:
+            # duplicate ids within a batch would double-count in both
+            # scorers; concurrent appends are unsupported (single writer)
+            raise ValueError(
+                f"appended batch has duplicate doc_ids ({agg.n} rows, "
+                f"{agg.nd} distinct)"
+            )
 
     n_new = docs.count()
     bow = bow_long(docs, idx.cfg, text_col=text_col)
