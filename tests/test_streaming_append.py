@@ -128,6 +128,147 @@ def test_compact_fragmented_blocks(spark, golden_corpus_df, tmp_path):
     assert before == after
 
 
+def test_append_partial_crash_is_invisible_and_retryable(spark, golden_corpus_df, tmp_path):
+    """A crash between table writes and the manifest commit must leave
+    the index unchanged (reads union only COMMITTED appends), and the
+    retry must not double-append (r02 ADVICE item 1)."""
+    import os
+    import shutil
+
+    from textsearch_spark.sources.io import append_batch_dir, append_manifest_path
+
+    path = str(tmp_path / "idx")
+    _base_index(spark, golden_corpus_df, path)
+    new = spark.createDataFrame([(8, "la casa")], "doc_id long, text string")
+
+    # simulate the crash: run a real append, then delete its manifest —
+    # equivalent to dying after the three table writes, before commit
+    append_batch_to_index(spark, path, new, doc_col="doc_id", batch_id=7)
+    os.remove(append_manifest_path(path, 7))
+    assert os.path.isdir(append_batch_dir(path, 7))  # staged remains
+
+    # uncommitted batch is invisible to every reader
+    assert high_water_mark(spark, path) == 7
+    idx = load_index(spark, path)
+    assert idx.doclens.filter("doc_id = 8").count() == 0
+
+    # retry of the same epoch: staged leftovers are discarded, the
+    # batch appends exactly once
+    append_batch_to_index(spark, path, new, doc_col="doc_id", batch_id=7)
+    idx = load_index(spark, path)
+    assert idx.doclens.filter("doc_id = 8").count() == 1
+    assert idx.postings.filter("doc_id = 8 AND token = 'la'").count() == 1
+
+    # half-written staging dir (no parquet _SUCCESS at all) also retries
+    shutil.rmtree(append_batch_dir(path, 8), ignore_errors=True)
+    os.makedirs(os.path.join(append_batch_dir(path, 8), "blocks"))
+    new2 = spark.createDataFrame([(9, "la pera")], "doc_id long, text string")
+    append_batch_to_index(spark, path, new2, doc_col="doc_id", batch_id=8)
+    assert high_water_mark(spark, path) == 9
+
+
+def test_auto_compaction_lifecycle(spark, golden_corpus_df, tmp_path):
+    """After auto_compact_after committed appends the index folds back
+    into single base tables: appends dir drained, (token, block_id)
+    fragmentation gone, WAND results identical (r02 verdict item 2)."""
+    from textsearch_spark.plans.maintenance import fragmentation
+    from textsearch_spark.sources.io import committed_append_ids
+
+    path = str(tmp_path / "idx")
+    _base_index(spark, golden_corpus_df, path)
+    q = spark.createDataFrame([(0, "la manzana verde rica")], "query_id long, qtext string")
+    texts = ["la manzana verde", "la hoja roja", "la pera rica", "la casa verde"]
+
+    results = []
+    for i, t in enumerate(texts):
+        new = spark.createDataFrame([(8 + i, t)], "doc_id long, text string")
+        m = append_batch_to_index(spark, path, new, doc_col="doc_id",
+                                  batch_id=i, auto_compact_after=3)
+        idx = load_index(spark, path)
+        from textsearch_spark.operators.search import search_bm25
+
+        wand = sorted((r.rank, r.doc_id, round(r.score, 10))
+                      for r in search_bm25_wand(idx, q, 8, n_buckets=2).collect())
+        naive = sorted((r.rank, r.doc_id, round(r.score, 10))
+                       for r in search_bm25(idx, q, 8).collect())
+        assert wand == naive
+        results.append((m.get("compaction") is not None, wand))
+
+    # the 3rd append tripped the threshold; the 4th starts a new epoch
+    assert [c for c, _ in results] == [False, False, True, False]
+    assert committed_append_ids(path) == ["3"]  # only the post-compaction batch
+    frag = fragmentation(spark, path)
+    assert frag["n_appends"] == 1
+    # compaction merged every fragmented (token, block_id) group that
+    # existed at compaction time; only batch 3's boundary fragment remains
+    idx = load_index(spark, path)
+    assert high_water_mark(spark, path) == 11
+    assert idx.doclens.count() == 11
+
+
+def test_compaction_crash_recovery(spark, golden_corpus_df, tmp_path):
+    """A compaction that committed (COMMIT.json renamed in) but crashed
+    before the swap must be finished transparently by the next load."""
+    import os
+    import shutil
+
+    from textsearch_spark.plans.maintenance import compact_index
+    from textsearch_spark.sources.io import COMPACT_TMP, committed_append_ids
+
+    path = str(tmp_path / "idx")
+    _base_index(spark, golden_corpus_df, path)
+    for i, t in enumerate(["la manzana verde", "la hoja roja"]):
+        new = spark.createDataFrame([(8 + i, t)], "doc_id long, text string")
+        append_batch_to_index(spark, path, new, doc_col="doc_id", batch_id=i,
+                              auto_compact_after=None)
+
+    idx = load_index(spark, path)
+    q = spark.createDataFrame([(0, "la manzana verde")], "query_id long, qtext string")
+    before = sorted((r.rank, r.doc_id, round(r.score, 10))
+                    for r in search_bm25_wand(idx, q, 8, n_buckets=2).collect())
+
+    # stage + commit a compaction, then simulate the crash by renaming
+    # the base tables back the way finish_compaction found them mid-way:
+    # easiest faithful simulation — run compact_index fully, then verify
+    # idempotence; plus an interrupted-swap replay via a fresh COMMIT dir
+    m = compact_index(spark, path)
+    assert m["appends_folded"] == 2
+    assert committed_append_ids(path) == []
+    assert not os.path.isdir(os.path.join(path, COMPACT_TMP))
+
+    # replaying recovery on a clean index is a no-op
+    from textsearch_spark.sources.io import finish_compaction
+
+    finish_compaction(path)
+    idx = load_index(spark, path)
+    after = sorted((r.rank, r.doc_id, round(r.score, 10))
+                   for r in search_bm25_wand(idx, q, 8, n_buckets=2).collect())
+    assert before == after
+    # an abandoned tmp dir without COMMIT.json is swept on next load
+    os.makedirs(os.path.join(path, COMPACT_TMP, "blocks"))
+    load_index(spark, path)
+    assert not os.path.isdir(os.path.join(path, COMPACT_TMP))
+
+    # genuine interrupted swap: committed tmp staged, base moved aside,
+    # crash before the staged table moved in — next load must roll
+    # forward and serve identical results
+    import json as _json
+
+    tmp = os.path.join(path, COMPACT_TMP)
+    os.makedirs(tmp)
+    shutil.copytree(os.path.join(path, "blocks"), os.path.join(tmp, "blocks"))
+    with open(os.path.join(tmp, "COMMIT.json"), "w") as f:
+        _json.dump({"appends": []}, f)
+    os.rename(os.path.join(path, "blocks"), os.path.join(path, "blocks__old"))
+    idx = load_index(spark, path)
+    assert os.path.isdir(os.path.join(path, "blocks"))
+    assert not os.path.isdir(os.path.join(path, "blocks__old"))
+    assert not os.path.isdir(tmp)
+    recovered = sorted((r.rank, r.doc_id, round(r.score, 10))
+                       for r in search_bm25_wand(idx, q, 8, n_buckets=2).collect())
+    assert recovered == before
+
+
 def test_stream_append_file_source(spark, golden_corpus_df, tmp_path):
     path = str(tmp_path / "idx")
     _base_index(spark, golden_corpus_df, path)

@@ -1,0 +1,124 @@
+"""Index maintenance: compaction of append-fragmented indexes.
+
+Streaming appends (streaming/append.py) stage each batch's postings/
+blocks/doclens under ``appends/<batch_id>/`` and commit atomically via
+a manifest rename; readers union base + committed appends. That layout
+is append-cheap but fragments over time: many small parquet dirs, and
+(token, block_id) groups whose doc range straddles an append boundary
+carry multiple rows (per-fragment decode + weaker block-max bounds in
+the WAND kernel).
+
+``compact_index`` folds everything back into single base tables:
+
+1. stage the merged tables under ``_compact_tmp/`` — blocks go through
+   ``operators.postings.compact_blocks`` (re-encoding only fragmented
+   (token, block_id) groups), postings/doclens are rewritten unioned;
+2. commit by atomically renaming ``COMMIT.json`` into the tmp dir
+   (records the consumed append batch ids);
+3. swap: old tables aside, staged tables in, consumed append dirs and
+   their manifests deleted (``sources.io.finish_compaction`` — also the
+   crash-recovery path, run by every load before reading).
+
+A crash before (2) leaves an abandoned tmp dir that the next reader
+deletes; a crash after (2) is finished by the next reader. Appends are
+single-writer (streaming/append.py docs), so no concurrent append can
+race the swap. ``append_batch_to_index`` triggers this automatically
+once ``auto_compact_after`` committed appends accumulate, closing the
+"fragment forever" lifecycle gap (r02 verdict item 2).
+
+The reference has no analogue — its in-memory adjacency lists never
+fragment; compaction is the price of the pure-append at-scale layout
+and replaces the reference's whole-index re-serialization (src/io.jl).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from ..operators.postings import BLOCKS_COLUMNS, compact_blocks
+from ..sources.io import (
+    COMPACT_TMP,
+    committed_append_ids,
+    finish_compaction,
+    load_index,
+    read_table,
+)
+from .checkpoint import write_manifest
+
+
+def fragmentation(spark: SparkSession, index_dir: str) -> dict:
+    """Fragmentation stats of the logical block table: committed append
+    count and how many (token, block_id) groups hold >1 row."""
+    from pyspark.sql import functions as F
+
+    blocks = read_table(spark, index_dir, "blocks")
+    agg = (
+        blocks.groupBy("token", "block_id").count()
+        .agg(
+            F.count("*").alias("groups"),
+            F.sum(F.expr("count - 1")).alias("extra_rows"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_appends": len(committed_append_ids(index_dir)),
+        "block_groups": int(agg.groups or 0),
+        "fragment_extra_rows": int(agg.extra_rows or 0),
+    }
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> dict:
+    """Fold committed appends into the base tables (protocol above).
+    Idempotent and crash-safe; returns the compaction metrics (also
+    written to the ``compaction`` manifest). No-op shortcut only when
+    there is nothing staged AND no block fragmentation."""
+    import shutil
+
+    finish_compaction(index_dir)  # complete any prior committed swap
+    t0 = time.time()
+    before = fragmentation(spark, index_dir)
+    ids = committed_append_ids(index_dir)
+    if not ids and before["fragment_extra_rows"] == 0:
+        return {**before, "skipped": True}
+
+    idx = load_index(spark, index_dir)
+    tmp = os.path.join(index_dir, COMPACT_TMP)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # abandoned (uncommitted) attempt
+
+    merged = compact_blocks(idx.blocks, idx.bm25).select(*BLOCKS_COLUMNS)
+    (
+        merged.repartition("token").sortWithinPartitions("token", "block_id")
+        .write.parquet(os.path.join(tmp, "blocks"))
+    )
+    (
+        idx.postings.repartition("token").sortWithinPartitions("token", "doc_id")
+        .write.parquet(os.path.join(tmp, "postings"))
+    )
+    idx.doclens.write.parquet(os.path.join(tmp, "doclens"))
+
+    commit = {"appends": ids, "staged_at": time.time()}
+    commit_tmp = os.path.join(tmp, "COMMIT.json.tmp")
+    with open(commit_tmp, "w") as f:
+        json.dump(commit, f, indent=1, sort_keys=True)
+    os.replace(commit_tmp, os.path.join(tmp, "COMMIT.json"))  # commit point
+    finish_compaction(index_dir)
+
+    after = fragmentation(spark, index_dir)
+    metrics = {
+        "appends_folded": len(ids),
+        "fragment_extra_rows_before": before["fragment_extra_rows"],
+        "fragment_extra_rows_after": after["fragment_extra_rows"],
+        "compact_sec": round(time.time() - t0, 3),
+    }
+    write_manifest(
+        index_dir, "compaction",
+        fingerprint=f"appends={','.join(ids)}",
+        parents=["index", "blocks"] + [f"append_{b}" for b in ids],
+        shards=[], metrics=metrics,
+    )
+    return metrics

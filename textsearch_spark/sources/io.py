@@ -31,6 +31,97 @@ from ..config import BM25Params, FoldedBM25, TextConfig
 from ..plans.build import BM25Index
 
 META = "meta.json"
+APPENDS_DIR = "appends"
+COMPACT_TMP = "_compact_tmp"
+_TABLES = ("blocks", "postings", "doclens")
+
+
+def append_manifest_path(index_dir: str, batch_id) -> str:
+    return os.path.join(index_dir, "_manifests", f"append_{batch_id}.json")
+
+
+def committed_append_ids(index_dir: str) -> list[str]:
+    """Batch ids of fully-committed appends, in name order. An append
+    is committed iff its manifest exists (the manifest rename is the
+    atomic commit point — staged table dirs without one are crashed
+    attempts and are ignored by every reader)."""
+    import glob
+
+    mdir = os.path.join(index_dir, "_manifests")
+    out = []
+    for p in sorted(glob.glob(os.path.join(mdir, "append_*.json"))):
+        name = os.path.basename(p)[len("append_"):-len(".json")]
+        with open(p) as f:
+            if json.load(f).get("complete"):
+                out.append(name)
+    return out
+
+
+def append_batch_dir(index_dir: str, batch_id) -> str:
+    return os.path.join(index_dir, APPENDS_DIR, str(batch_id))
+
+
+def table_paths(index_dir: str, table: str) -> list[str]:
+    """Base table dir + every committed append's staged dir for it."""
+    paths = [os.path.join(index_dir, table)]
+    for bid in committed_append_ids(index_dir):
+        p = os.path.join(append_batch_dir(index_dir, bid), table)
+        if os.path.isdir(p):
+            paths.append(p)
+    return paths
+
+
+def read_table(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
+    """The logical table = base parquet UNION committed appends. Readers
+    never see a half-written append (its dirs are invisible until the
+    manifest commit) and never see a half-swapped compaction
+    (finish_compaction below runs before any read)."""
+    paths = table_paths(index_dir, table)
+    for p in paths:
+        spark.catalog.refreshByPath(p)
+    return spark.read.parquet(*paths)
+
+
+def finish_compaction(index_dir: str) -> None:
+    """Recovery half of the compaction protocol (plans/maintenance.py).
+
+    Compaction stages rewritten tables under ``_compact_tmp/`` and
+    commits by atomically renaming ``COMMIT.json`` into it; the swap
+    (old table aside -> staged table in -> consumed appends deleted) is
+    this function, and it is idempotent: a crash anywhere mid-swap is
+    finished by the next reader/writer calling it. A ``_compact_tmp``
+    WITHOUT a COMMIT.json is an abandoned attempt and is deleted."""
+    import shutil
+
+    tmp = os.path.join(index_dir, COMPACT_TMP)
+    if not os.path.isdir(tmp):
+        return
+    commit_p = os.path.join(tmp, "COMMIT.json")
+    if not os.path.exists(commit_p):
+        shutil.rmtree(tmp)
+        return
+    with open(commit_p) as f:
+        commit = json.load(f)
+    for t in _TABLES:
+        staged = os.path.join(tmp, t)
+        base = os.path.join(index_dir, t)
+        old = base + "__old"
+        if os.path.isdir(staged):
+            if os.path.isdir(base):
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                os.rename(base, old)
+            os.rename(staged, base)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+    for bid in commit.get("appends", []):
+        d = append_batch_dir(index_dir, bid)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        m = append_manifest_path(index_dir, bid)
+        if os.path.exists(m):
+            os.remove(m)
+    shutil.rmtree(tmp)
 
 
 def save_index(index: BM25Index, path: str, *, postings_partitions: int | None = None) -> None:
@@ -62,19 +153,23 @@ def save_index(index: BM25Index, path: str, *, postings_partitions: int | None =
 
 
 def load_index(spark: SparkSession, path: str) -> BM25Index:
+    # finish any committed-but-unswapped compaction before reading, so
+    # a crash mid-swap is invisible to readers
+    finish_compaction(path)
     # drop any stale cached file listings from a previous load of the
-    # same path (tables may have been overwritten by a rebuild)
-    for sub in ("vocab", "postings", "doclens", "blocks"):
-        p = os.path.join(path, sub)
-        if os.path.isdir(p):
-            spark.catalog.refreshByPath(p)
+    # same path (tables may have been overwritten by a rebuild); the
+    # logical postings/doclens/blocks tables are base UNION committed
+    # appends (read_table)
+    vocab_p = os.path.join(path, "vocab")
+    if os.path.isdir(vocab_p):
+        spark.catalog.refreshByPath(vocab_p)
     with open(os.path.join(path, META)) as f:
         meta = json.load(f)
     cfg = TextConfig.from_json(json.dumps(meta["textconfig"]))
     bm25 = FoldedBM25.from_json(json.dumps(meta["bm25"]))
     params = BM25Params(**meta["params"])
     blocks_path = os.path.join(path, "blocks")
-    blocks = spark.read.parquet(blocks_path) if os.path.isdir(blocks_path) else None
+    blocks = read_table(spark, path, "blocks") if os.path.isdir(blocks_path) else None
     if blocks is not None:
         from ..operators.postings import validate_blocks_schema
 
@@ -83,9 +178,9 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
         cfg=cfg,
         params=params,
         bm25=bm25,
-        vocab=spark.read.parquet(os.path.join(path, "vocab")),
-        postings=spark.read.parquet(os.path.join(path, "postings")),
-        doclens=spark.read.parquet(os.path.join(path, "doclens")),
+        vocab=spark.read.parquet(vocab_p),
+        postings=read_table(spark, path, "postings"),
+        doclens=read_table(spark, path, "doclens"),
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
         blocks=blocks,

@@ -18,8 +18,22 @@ their postings land in NEW doc-range blocks (plus at most one shared
 boundary block id per token — the WAND kernel accumulates multiple
 rows of one block id correctly, so no read-modify-write of existing
 blocks is ever needed; an append is a pure parquet/Iceberg APPEND).
-Each append writes a manifest keyed by its batch id, making streaming
-retries idempotent (a replayed epoch is skipped).
+
+Atomicity: each batch's three tables (blocks, postings, doclens) are
+staged under ``appends/<batch_id>/`` — invisible to readers — and the
+batch COMMITS by atomically renaming its manifest into ``_manifests/``.
+A crash mid-append leaves only an uncommitted staging dir, which the
+retry deletes before re-appending; a replayed epoch whose manifest
+exists is skipped. Exactly-once at the index level therefore holds for
+ANY crash point, not just replays of fully-committed batches (r02
+ADVICE item 1). Readers (sources.io.read_table) see base UNION
+committed appends. Appends are single-writer: two concurrent appends
+could both pass the high-water-mark check and claim overlapping ids —
+serialize them through one streaming query / one maintenance job.
+
+Accumulated appends are folded back into the base tables by
+``plans.maintenance.compact_index``, triggered automatically after
+``auto_compact_after`` committed batches.
 
 Drift note: like the reference, long-running appends make fit-time
 N/avgdl/ndocs progressively stale; the correction path is a fresh
@@ -42,18 +56,19 @@ from ..functions.bm25 import tokenscore_expr
 from ..functions.udfs import bow_long
 from ..operators.postings import build_posting_blocks
 from ..plans.build import POSTING_COLS
-from ..sources.io import load_index
-
-
-def _append_manifest_path(index_dir: str, batch_id) -> str:
-    return os.path.join(index_dir, "_manifests", f"append_{batch_id}.json")
+from ..sources.io import (
+    append_batch_dir,
+    append_manifest_path,
+    committed_append_ids,
+    load_index,
+    read_table,
+)
 
 
 def high_water_mark(spark: SparkSession, index_dir: str) -> int:
-    """Largest doc_id currently in the index (from the doclens table)."""
-    p = os.path.join(index_dir, "doclens")
-    spark.catalog.refreshByPath(p)
-    row = spark.read.parquet(p).agg(F.max("doc_id")).collect()[0]
+    """Largest doc_id currently in the index (base doclens UNION every
+    committed append's doclens)."""
+    row = read_table(spark, index_dir, "doclens").agg(F.max("doc_id")).collect()[0]
     return int(row[0] or 0)
 
 
@@ -65,6 +80,7 @@ def append_batch_to_index(
     doc_col: Optional[str] = None,
     text_col: str = "text",
     batch_id=None,
+    auto_compact_after: Optional[int] = 8,
 ) -> dict:
     """Append one batch of documents to a persisted block index.
 
@@ -72,11 +88,30 @@ def append_batch_to_index(
     high-water mark); None auto-assigns ``hwm + 1 ..`` in the batch's
     deterministic sort order. Returns the append metrics dict (also
     written to the manifest). A batch_id whose manifest already exists
-    is skipped (idempotent streaming retry).
+    is skipped (idempotent streaming retry); a staging dir without a
+    manifest is a crashed attempt and is deleted before re-appending.
+
+    ``auto_compact_after``: once this many committed appends have
+    accumulated, fold them into the base tables
+    (plans.maintenance.compact_index) right after this batch commits;
+    None disables. Appends are single-writer (module docstring).
     """
-    if batch_id is not None and os.path.exists(_append_manifest_path(index_dir, batch_id)):
-        with open(_append_manifest_path(index_dir, batch_id)) as f:
+    import shutil
+    import uuid
+
+    if batch_id is None:
+        # ad-hoc (non-streaming) append: a fresh unique id — staging
+        # and commit semantics are identical, there is just no caller
+        # retry that could reuse it
+        batch_id = f"adhoc-{uuid.uuid4().hex[:12]}"
+    elif os.path.exists(append_manifest_path(index_dir, batch_id)):
+        with open(append_manifest_path(index_dir, batch_id)) as f:
             return json.load(f)["metrics"]
+    batch_dir = append_batch_dir(index_dir, batch_id)
+    if os.path.isdir(batch_dir):
+        # crashed previous attempt: staged but never committed — remove
+        # so the retry cannot double-append partial output
+        shutil.rmtree(batch_dir)
 
     t0 = time.time()
     idx = load_index(spark, index_dir)
@@ -140,29 +175,37 @@ def append_batch_to_index(
 
     postings = postings.cache()
     new_blocks = build_posting_blocks(postings, span=span)
-    new_blocks.write.mode("append").parquet(os.path.join(index_dir, "blocks"))
+    # STAGE all three tables under the batch dir (invisible to readers
+    # until the manifest commits)
+    new_blocks.write.parquet(os.path.join(batch_dir, "blocks"))
     # keep the long-form postings (naive scorer) and doclens in step
-    postings.write.mode("append").parquet(os.path.join(index_dir, "postings"))
+    postings.write.parquet(os.path.join(batch_dir, "postings"))
     doclens = postings.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
-    doclens.write.mode("append").parquet(os.path.join(index_dir, "doclens"))
+    doclens.write.parquet(os.path.join(batch_dir, "doclens"))
     postings.unpersist()
 
-    spark.catalog.refreshByPath(os.path.join(index_dir, "blocks"))
     metrics = {
         "n_docs_appended": n_new,
         "first_doc": hwm + 1 if doc_col is None else int(low),
         "append_sec": round(time.time() - t0, 3),
         "span": span,
+        "batch_id": str(batch_id),
     }
-    if batch_id is not None:
-        os.makedirs(os.path.join(index_dir, "_manifests"), exist_ok=True)
-        doc = {"stage": f"append_{batch_id}", "metrics": metrics,
-               "lineage": {"parents": ["index", "blocks"]},
-               "completed_at": time.time(), "complete": True}
-        tmp = _append_manifest_path(index_dir, batch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f, indent=1, sort_keys=True)
-        os.replace(tmp, _append_manifest_path(index_dir, batch_id))
+    os.makedirs(os.path.join(index_dir, "_manifests"), exist_ok=True)
+    doc = {"stage": f"append_{batch_id}", "metrics": metrics,
+           "lineage": {"parents": ["index", "blocks"]},
+           "completed_at": time.time(), "complete": True}
+    tmp = append_manifest_path(index_dir, batch_id) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    # the COMMIT point: after this rename the batch is fully visible;
+    # before it, nothing is
+    os.replace(tmp, append_manifest_path(index_dir, batch_id))
+
+    if auto_compact_after and len(committed_append_ids(index_dir)) >= auto_compact_after:
+        from ..plans.maintenance import compact_index
+
+        metrics["compaction"] = compact_index(spark, index_dir)
     return metrics
 
 
@@ -173,11 +216,14 @@ def stream_append_to_index(
     checkpoint_dir: str,
     text_col: str = "text",
     trigger_available_now: bool = True,
+    auto_compact_after: Optional[int] = 8,
 ):
     """readStream docs -> incremental index appends, one per
     micro-batch (foreachBatch). Returns the started StreamingQuery.
     Batch ids key the append manifests, so Structured Streaming's
-    replay-on-failure semantics stay exactly-once at the index level."""
+    replay-on-failure semantics stay exactly-once at the index level;
+    every ``auto_compact_after`` batches the accumulated appends are
+    folded into the base tables (bounded fragmentation forever)."""
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -185,6 +231,7 @@ def stream_append_to_index(
         append_batch_to_index(
             batch_df.sparkSession, index_dir, batch_df,
             text_col=text_col, batch_id=batch_id,
+            auto_compact_after=auto_compact_after,
         )
 
     writer = stream_df.writeStream.foreachBatch(update).option(
