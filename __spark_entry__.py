@@ -681,6 +681,23 @@ def q_embedding_ivf_topk(spark, sf_dir):
     return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
 
 
+def q_embedding_ivf_topk_trained(spark, sf_dir):
+    """IVF-flat ANN with a Lloyd-TRAINED quantizer (5 distributed
+    k-means steps from the md5-sampled seeds) — balanced inverted lists
+    on clustered embeddings, the at-scale recall path. No oracle_sql
+    entry: iterative float k-means is not SQL-expressible (the driver
+    records the weaker rows-only check); recall >= 0.9 vs brute force
+    is pinned by tests/test_simsearch_r3.py instead."""
+    from textsearch_spark.operators.simsearch import (
+        ivf_cosine_topk, train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb, 16, n_iter=3)
+    res = ivf_cosine_topk(emb, list(range(20)), k=5, nprobe=4, centroids=cents)
+    return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
+
+
 def q_bm25_topk_appended(spark, sf_dir):
     """append_items! semantics end-to-end: fit+save an index on the
     first half of the corpus, APPEND the second half with frozen
@@ -766,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_headers": q_media_headers,
         "bm25_topk_appended": q_bm25_topk_appended,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,
     }
 
 

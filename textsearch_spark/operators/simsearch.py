@@ -177,36 +177,48 @@ def lsh_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates share a sign-LSH
     bucket, then exact cosine >= threshold. (vec_a, vec_b, cos) with
-    vec_a < vec_b. The join key is the bucket string, so at scale each
-    bucket's pair enumeration stays local to its shuffle partition; the
-    plane count bounds expected bucket size (n / 2^planes)."""
+    vec_a < vec_b.
+
+    Scale shape: ONE shuffle keyed by the bucket string; inside each
+    bucket an ``applyInPandas`` kernel normalizes the bucket's vectors
+    once, takes one Gram matmul, and emits only the upper-triangle
+    pairs clearing the threshold. Each vector crosses the wire ONCE per
+    bucket — the previous self-join shipped both sides' full embedding
+    payloads per candidate PAIR (64 KB/pair at dim 4096; r02 verdict
+    item 6). The plane count bounds expected bucket size (n/2^planes),
+    which bounds the kernel's matmul."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cos": pd.Series([], dtype="float64")})
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = _to_matrix(pdf[vec_col])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        # canonical order vec_a < vec_b regardless of in-bucket order
+        a, b = ids[ai], ids[bi]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap].copy()
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos": sims[ai, bi]})
+
     b = with_lsh_bucket(embeddings, n_planes, dim, vec_col=vec_col)
-    a = b.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"), "bucket")
-    c = b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"), "bucket")
-    pairs = a.join(c, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     return (
-        pairs.select("vec_a", "vec_b", _cos_udf(F.col("__va"), F.col("__vb")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        b.select(id_col, vec_col, "bucket")
+        .groupBy("bucket")
+        .applyInPandas(kernel, "vec_a long, vec_b long, cos double")
     )
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    n_centroids: int = 16,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF coarse quantizer: adds a ``centroid_id`` column.
-
-    Centroids are the ``n_centroids`` corpus vectors with the smallest
-    md5(vec_id) — a deterministic pseudo-random sample, reproducible by
-    the SQL oracle (no Lloyd iterations: at 100TB the quantizer is
-    trained once offline anyway; any centroid set partitions the space,
-    and determinism is what makes the structure verifiable). Assignment
-    is argmin L2 distance == argmax (dot - |c|^2/2) over the broadcast
-    centroid matrix, one numpy matmul per Arrow batch."""
-    spark = embeddings.sparkSession
+def _sampled_centroids(embeddings: DataFrame, n_centroids: int,
+                       id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic seed centroids: the ``n_centroids`` corpus vectors
+    with the smallest md5(vec_id) — reproducible by the SQL oracle
+    bit-for-bit. Returns (centroid ids ascending, matrix in that order)."""
     seeds = (
         embeddings.select(id_col)
         .withColumn("__h", F.md5(F.col(id_col).cast("string")))
@@ -221,6 +233,98 @@ def ivf_assign(
     crows.sort(key=lambda r: r[0])
     c_ids = np.array([r[0] for r in crows], dtype=np.int64)
     c_mat = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    return c_ids, c_mat
+
+
+def _resolve_centroids(embeddings: DataFrame, n_centroids: int, centroids,
+                       id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """``centroids=None`` -> the md5-sampled (oracle-reproducible) set;
+    otherwise an externally trained (m, dim) matrix with ids 0..m-1."""
+    if centroids is None:
+        return _sampled_centroids(embeddings, n_centroids, id_col, vec_col)
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    return np.arange(len(c_mat), dtype=np.int64), c_mat
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    *,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd-trained coarse quantizer (r02 verdict item 3): ``n_iter``
+    k-means steps from the deterministic md5 sample. Each step is ONE
+    distributed pass — the mapInPandas kernel assigns its Arrow batches
+    with a matmul and emits one (centroid, count, component-sum) partial
+    per PARTITION (map-side combine), so the driver combines
+    n_partitions x n_centroids tiny rows, never the vectors themselves.
+    Empty clusters keep their previous centroid. Assignments are exact;
+    the centroid means are reproducible up to float summation order
+    (which follows the partition layout) — so trained centroids should
+    be persisted and reused, not recomputed per query (the SQL oracle
+    keeps using the exactly-reproducible sampled quantizer).
+
+    At 100 TB the train pass runs on a sample table; the returned
+    matrix is what you persist and hand to ``ivf_assign`` /
+    ``ivf_cosine_topk`` as ``centroids=``."""
+    spark = embeddings.sparkSession
+    _, c_mat = _resolve_centroids(embeddings, n_centroids, None, id_col, vec_col)
+    m, dim = c_mat.shape
+    for _ in range(n_iter):
+        c_sq = 0.5 * np.einsum("ij,ij->i", c_mat, c_mat)
+        bc = spark.sparkContext.broadcast((c_mat, c_sq))
+
+        def partials(batches):
+            mat, sq = bc.value
+            sums = np.zeros((m, dim))
+            counts = np.zeros(m, dtype=np.int64)
+            for pdf in batches:
+                x = _to_matrix(pdf[vec_col])
+                a = np.argmax(x @ mat.T - sq, axis=1)
+                np.add.at(sums, a, x)
+                counts += np.bincount(a, minlength=m)
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame({
+                "cid": nz.astype(np.int64),
+                "n": counts[nz],
+                "s": [sums[i].tolist() for i in nz],
+            })
+
+        rows = embeddings.select(vec_col).mapInPandas(
+            partials, "cid long, n long, s array<double>").collect()
+        sums = np.zeros((m, dim))
+        counts = np.zeros(m, dtype=np.int64)
+        for r in rows:
+            sums[r.cid] += np.asarray(r.s)
+            counts[r.cid] += r.n
+        nz = counts > 0
+        c_mat = np.where(nz[:, None], sums / np.maximum(counts, 1)[:, None], c_mat)
+        bc.destroy()
+    return c_mat
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    *,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: adds a ``centroid_id`` column.
+
+    Default centroids are the md5-sampled corpus vectors — deterministic
+    and reproducible by the SQL oracle (the verifiable structure); pass
+    ``centroids=`` a trained matrix (``train_ivf_centroids`` or an
+    offline job) for balanced inverted lists on clustered real
+    embeddings. Assignment is argmin L2 distance == argmax
+    (dot - |c|^2/2) over the broadcast centroid matrix, one numpy
+    matmul per Arrow batch."""
+    spark = embeddings.sparkSession
+    c_ids, c_mat = _resolve_centroids(embeddings, n_centroids, centroids,
+                                      id_col, vec_col)
     c_sq = 0.5 * np.einsum("ij,ij->i", c_mat, c_mat)
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_sq))
 
@@ -236,6 +340,15 @@ def ivf_assign(
     return embeddings.withColumn("centroid_id", assign(F.col(vec_col)))
 
 
+def ivf_list_stats(assigned: DataFrame) -> DataFrame:
+    """Inverted-list sizes: (centroid_id, n) — the skew diagnostic. A
+    list that absorbs most of the corpus means the quantizer is
+    untrained/mismatched (probe cost degenerates toward brute force on
+    that list and recall collapses elsewhere); retrain with
+    ``train_ivf_centroids`` on a sample."""
+    return assigned.groupBy("centroid_id").agg(F.count("*").alias("n"))
+
+
 def ivf_cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -243,6 +356,9 @@ def ivf_cosine_topk(
     *,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids=None,
+    check_skew: bool = False,
+    skew_warn_ratio: float = 8.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -253,22 +369,35 @@ def ivf_cosine_topk(
     Scale shape: the corpus is hash-partitioned by centroid_id (the
     inverted lists); queries are a broadcast side carrying their probe
     sets, so the join touches corpus rows in probed lists only —
-    n*nprobe/n_centroids of the table per query instead of all of it."""
-    assigned = ivf_assign(embeddings, n_centroids, id_col=id_col, vec_col=vec_col).cache()
+    n*nprobe/n_centroids of the table per query instead of all of it.
+    Pass a trained ``centroids=`` matrix for balanced lists;
+    ``check_skew=True`` adds one counting pass that raises if the
+    largest list exceeds ``skew_warn_ratio`` x the mean (the untrained-
+    quantizer failure mode)."""
+    assert len(query_ids) <= MAX_QUERY_BATCH, (
+        f"query batch {len(query_ids)} exceeds {MAX_QUERY_BATCH}; split the batch"
+    )
+    spark = embeddings.sparkSession
+    c_ids, c_mat = _resolve_centroids(embeddings, n_centroids, centroids,
+                                      id_col, vec_col)
+    c_sq = 0.5 * np.einsum("ij,ij->i", c_mat, c_mat)
+    assigned = ivf_assign(embeddings, n_centroids, centroids=centroids,
+                          id_col=id_col, vec_col=vec_col)
+    if check_skew:
+        sizes = np.array([r.n for r in ivf_list_stats(assigned).collect()])
+        # mean over ALL lists (empty ones included — a collapsed
+        # quantizer shows up precisely as many empty lists)
+        mean = sizes.sum() / len(c_ids) if len(sizes) else 0.0
+        if len(sizes) and sizes.max() > skew_warn_ratio * mean:
+            raise ValueError(
+                f"IVF list skew: largest list {int(sizes.max())} rows vs mean "
+                f"{mean:.1f} over {len(c_ids)} lists (> {skew_warn_ratio}x) — "
+                "train centroids (train_ivf_centroids) or raise n_centroids"
+            )
 
     # query probe lists: nprobe nearest centroids by the same L2 rule
-    qrows = assigned.filter(F.col(id_col).isin(query_ids)).select(
+    qrows = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         id_col, vec_col).collect()
-    seeds = (
-        assigned.select(F.col("centroid_id").alias("cid")).distinct()
-        .join(assigned.select(F.col(id_col).alias("cid"), vec_col), "cid")
-        .collect()
-    )
-    seeds.sort(key=lambda r: r[0])
-    c_ids = np.array([r[0] for r in seeds], dtype=np.int64)
-    c_mat = np.array([list(r[1]) for r in seeds], dtype=np.float64)
-    c_sq = 0.5 * np.einsum("ij,ij->i", c_mat, c_mat)
-
     probes = []
     for r in qrows:
         x = np.array(list(r[1]), dtype=np.float64)
@@ -276,11 +405,10 @@ def ivf_cosine_topk(
         order = np.lexsort((c_ids, -scores))[:nprobe]
         for cid in c_ids[order]:
             probes.append((int(r[0]), int(cid)))
-    spark = embeddings.sparkSession
     qprobe = spark.createDataFrame(probes, "query_id long, centroid_id long")
     qvecs = spark.createDataFrame(
         [(int(r[0]), list(map(float, r[1]))) for r in qrows],
-        f"query_id long, qvec array<double>",
+        "query_id long, qvec array<double>",
     )
 
     cand = (
