@@ -1,0 +1,67 @@
+"""spark-submit packaging smoke test (r02 verdict item 8): the
+--py-files zip must be self-contained — a fresh subprocess whose ONLY
+import source for the package is the zip (cwd outside the repo,
+PYTHONPATH = the zip) runs build -> append -> search through cli.py.
+Executor-side shipping uses the same zip via ``get_spark``'s
+``addPyFile``, which is the mechanism spark-submit --py-files uses."""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_cli_build_append_search_from_zip(spark, golden_corpus_df, tmp_path):
+    from textsearch_spark.session import package_zip
+
+    zip_path = package_zip(str(tmp_path / "textsearch_spark.zip"))
+    corpus = str(tmp_path / "corpus")
+    extra = str(tmp_path / "extra")
+    queries = str(tmp_path / "queries")
+    index = str(tmp_path / "idx")
+    out = str(tmp_path / "results")
+    golden_corpus_df.write.parquet(corpus)
+    spark.createDataFrame(
+        [(8, "la manzana verde rica")], "doc_id long, text string"
+    ).write.parquet(extra)
+    spark.createDataFrame(
+        [(0, "la casa de la manzana verde"), (1, "hoja verde")],
+        "query_id long, qtext string",
+    ).write.parquet(queries)
+
+    env = {**os.environ,
+           # the zip is the ONLY way to import the package
+           "PYTHONPATH": zip_path,
+           "SPARK_GRAFT_CPUS": "2"}
+    env.pop("PYTHONSTARTUP", None)
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "textsearch_spark.cli", *args],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r.stdout
+
+    o = cli("build", "--input", corpus, "--index", index, "--block-span", "4")
+    assert "n_docs=7" in o
+    o = cli("append", "--input", extra, "--index", index, "--doc-col", "doc_id")
+    assert "appended 1 docs from id 8" in o
+    cli("search", "--index", index, "--queries", queries,
+        "--k", "3", "--engine", "wand", "--output", out)
+
+    res = spark.read.parquet(out).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    assert sorted(r[1] for r in by_q[0]) and len(by_q) == 2
+    # golden ordering for the reference query (test/search.jl:36-38 is
+    # on the pruned-vocab index; here unpruned — just require doc 8,
+    # the appended doc, to be retrievable via 'manzana verde'
+    assert any(d == 8 for _, d in by_q[0])
+    # manifests recorded the build + append lineage
+    stages = {json.load(open(os.path.join(index, "_manifests", f)))["stage"]
+              for f in os.listdir(os.path.join(index, "_manifests"))}
+    assert "index" in stages and "blocks" in stages
+    assert any(s.startswith("append_") for s in stages)
