@@ -174,6 +174,66 @@ def q_bm25_topk_wand(spark, sf_dir):
     return res.select("query_id", "rank", "doc_id", F.round("score", 4).alias("score4"))
 
 
+def q_bm25_topk_wand_chunked(spark, sf_dir):
+    """The huge-batch driver (operators/wand.search_bm25_wand_chunked):
+    the query batch split into bounded hash chunks, each with its own
+    driver collect + broadcast, results unioned. chunk_size=3 forces
+    several chunks even on the tiny oracle batch; the oracle is the
+    same BM25 SQL as bm25_topk_wand (chunking must not change any
+    row)."""
+    from textsearch_spark.operators.wand import search_bm25_wand_chunked
+
+    res = search_bm25_wand_chunked(_blocks_index(spark, sf_dir),
+                                   _query_df(spark), TOP_K, chunk_size=3)
+    return res.select("query_id", "rank", "doc_id", F.round("score", 4).alias("score4"))
+
+
+def q_bm25_topk_compacted(spark, sf_dir):
+    """Append lifecycle incl. compaction: fit+save on the first half,
+    append the rest in TWO batches with auto_compact_after=2 (so the
+    second commit triggers plans/maintenance.compact_index, folding
+    both staged appends back into the base tables), then WAND top-k
+    over the compacted index. Same closed-form frozen-stat oracle as
+    bm25_topk_appended — batching and compaction must not change any
+    score."""
+    import shutil
+    import tempfile
+
+    from textsearch_spark.operators.postings import build_posting_blocks
+    from textsearch_spark.operators.wand import search_bm25_wand
+    from textsearch_spark.plans.build import build_bm25_index
+    from textsearch_spark.sources.io import (
+        committed_append_ids, load_index, save_index,
+    )
+    from textsearch_spark.streaming.append import append_batch_to_index
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    q3 = (mid * 3) // 2
+    base = docs.filter(F.col("doc_id") <= mid)
+    path = tempfile.mkdtemp(prefix="ts_compact_oracle_")
+    try:
+        idx = build_bm25_index(base, _cfg())
+        idx.blocks = build_posting_blocks(idx.postings, span=256)
+        save_index(idx, path)
+        append_batch_to_index(
+            spark, path, docs.filter((F.col("doc_id") > mid) & (F.col("doc_id") <= q3)),
+            doc_col="doc_id", batch_id=0, auto_compact_after=2)
+        m = append_batch_to_index(
+            spark, path, docs.filter(F.col("doc_id") > q3),
+            doc_col="doc_id", batch_id=1, auto_compact_after=2)
+        assert m.get("compaction"), "second append must trigger compaction"
+        assert committed_append_ids(path) == [], "appends folded into base"
+        idx2 = load_index(spark, path)
+        res = search_bm25_wand(idx2, _query_df(spark), TOP_K).select(
+            "query_id", "rank", "doc_id", F.round("score", 4).alias("score4")
+        )
+        # materialize before the temp index dir disappears
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_posting_blocks_stats(spark, sf_dir):
     idx = _blocks_index(spark, sf_dir)
     return idx.blocks.groupBy("token").agg(
@@ -782,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_typo": q_bm25_topk_typo,
         "media_headers": q_media_headers,
         "bm25_topk_appended": q_bm25_topk_appended,
+        "bm25_topk_compacted": q_bm25_topk_compacted,
+        "bm25_topk_wand_chunked": q_bm25_topk_wand_chunked,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,
     }
@@ -999,6 +1061,11 @@ SELECT p.doc_id, p.pos::BIGINT AS pos, i.term_id FROM pos p JOIN ids i USING (to
     }
     sqls.update(_pipeline_oracles())
     sqls.update(_extra_oracles())
+    # physical-strategy variants score identically by construction, so
+    # they share the oracle: chunked WAND == WAND == naive BM25 SQL;
+    # the batched+compacted append == the single-shot append SQL
+    sqls["bm25_topk_wand_chunked"] = sqls["bm25_topk_wand"]
+    sqls["bm25_topk_compacted"] = sqls["bm25_topk_appended"]
     return sqls
 
 
