@@ -48,6 +48,9 @@ def test_cli_build_append_search_from_zip(spark, golden_corpus_df, tmp_path):
     assert "n_docs=7" in o
     o = cli("append", "--input", extra, "--index", index, "--doc-col", "doc_id")
     assert "appended 1 docs from id 8" in o
+    o = cli("compact", "--index", index)
+    assert "folded 1 appends" in o
+    assert not os.listdir(os.path.join(index, "appends"))  # drained
     cli("search", "--index", index, "--queries", queries,
         "--k", "3", "--engine", "wand", "--output", out)
 
@@ -60,8 +63,10 @@ def test_cli_build_append_search_from_zip(spark, golden_corpus_df, tmp_path):
     # on the pruned-vocab index; here unpruned — just require doc 8,
     # the appended doc, to be retrievable via 'manzana verde'
     assert any(d == 8 for _, d in by_q[0])
-    # manifests recorded the build + append lineage
+    # manifests recorded the lineage: build stages + the compaction that
+    # consumed the append (append manifests are folded away by compact)
     stages = {json.load(open(os.path.join(index, "_manifests", f)))["stage"]
               for f in os.listdir(os.path.join(index, "_manifests"))}
     assert "index" in stages and "blocks" in stages
-    assert any(s.startswith("append_") for s in stages)
+    assert "compaction" in stages
+    assert not any(s.startswith("append_") for s in stages)

@@ -39,6 +39,10 @@ def main(argv=None):
                    help="pre-assigned id column (must exceed the high-water mark); "
                         "default auto-assigns")
 
+    c = sub.add_parser("compact", help="fold committed appends into the base "
+                                       "tables (plans/maintenance.compact_index)")
+    c.add_argument("--index", required=True)
+
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True, help="parquet with (query_id, qtext)")
@@ -76,6 +80,16 @@ def main(argv=None):
                                   doc_col=args.doc_col, text_col=args.text_col)
         print(f"appended {m['n_docs_appended']} docs from id {m['first_doc']} "
               f"in {m['append_sec']}s")
+    elif args.cmd == "compact":
+        from .plans.maintenance import compact_index
+
+        m = compact_index(spark, args.index)
+        if m.get("skipped"):
+            print("nothing to compact")
+        else:
+            print(f"folded {m['appends_folded']} appends; fragmented block rows "
+                  f"{m['fragment_extra_rows_before']} -> {m['fragment_extra_rows_after']} "
+                  f"in {m['compact_sec']}s")
     else:
         from .operators.search import search_bm25
         from .operators.wand import search_bm25_wand
