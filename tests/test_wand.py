@@ -156,6 +156,21 @@ def test_wand_chunked_differential(spark, zipf_index):
     assert len(chunked) == len(whole) > 0
 
 
+def test_wand_accept_veto_differential(spark, zipf_index):
+    """The accept_posting_list veto (list-length bounds) must agree
+    between the naive scorer and WAND — both skip the same lists."""
+    corpus, idx = zipf_index
+    qdf = _zipf_queries(spark, corpus, 40, seed=3)
+    # veto stop-wordish lists: drops the Zipf head terms from scoring
+    naive = search_bm25(idx, qdf, k=10, accept_max_ndocs=400).collect()
+    wand = search_bm25_wand(idx, qdf, k=10, accept_max_ndocs=400).collect()
+    _assert_rank_identical(naive, wand)
+    # and the veto actually changes results vs the unvetoed run
+    full = search_bm25(idx, qdf, k=10).collect()
+    assert sorted((r.query_id, r.rank, r.doc_id) for r in full) != sorted(
+        (r.query_id, r.rank, r.doc_id) for r in naive)
+
+
 def test_wand_typo_differential(spark):
     """typo_tolerant resolves query terms through the q-gram approx
     vocabulary before scoring; WAND and naive must agree on the

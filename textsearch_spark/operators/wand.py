@@ -268,6 +268,8 @@ def search_bm25_wand(
     maxdist: float = 0.7,
     prune_scan: bool = True,
     counters: Optional[WandCounters] = None,
+    accept_min_ndocs: Optional[int] = None,
+    accept_max_ndocs: Optional[int] = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to search_bm25.
 
@@ -338,6 +340,13 @@ def search_bm25_wand(
     terms = sorted({t for ts in qmap.values() for t in ts})
 
     blocks = index.blocks
+    # accept_posting_list veto (src/bm25invfilesearch.jl:32-38) as a
+    # pushed-down predicate on list length — same semantics as the
+    # naive scorer's bounds (blocks carry the token's total ndocs)
+    if accept_min_ndocs is not None:
+        blocks = blocks.filter(F.col("ndocs") >= accept_min_ndocs)
+    if accept_max_ndocs is not None:
+        blocks = blocks.filter(F.col("ndocs") <= accept_max_ndocs)
     from .search import PRUNE_MAX_TERMS
 
     if prune_scan and len(terms) <= PRUNE_MAX_TERMS:
