@@ -71,6 +71,25 @@ def test_trained_ivf_balances_lists(spark, clustered_emb):
     assert max_t <= 4 * mean_t
 
 
+def test_centroid_persistence_roundtrip(spark, clustered_emb, tmp_path):
+    """Trained quantizers persist exactly and reproduce identical
+    assignments when reloaded (train offline once, query many times)."""
+    from textsearch_spark.operators.simsearch import (
+        ivf_assign, load_centroids, save_centroids, train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(clustered_emb, 8, n_iter=2)
+    p = str(tmp_path / "centroids.json")
+    save_centroids(cents, p)
+    back = load_centroids(p)
+    assert np.array_equal(cents, back)  # exact float64 round-trip
+    a1 = {r.vec_id: r.centroid_id
+          for r in ivf_assign(clustered_emb, centroids=cents).collect()}
+    a2 = {r.vec_id: r.centroid_id
+          for r in ivf_assign(clustered_emb, centroids=back).collect()}
+    assert a1 == a2
+
+
 def test_ivf_skew_guard_raises(spark):
     """check_skew must refuse a quantizer whose lists collapse."""
     from textsearch_spark.operators.simsearch import ivf_cosine_topk

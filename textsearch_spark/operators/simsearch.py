@@ -23,7 +23,6 @@ dimension, so real embedding widths (768-4096) cost a matmul, not a
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -303,6 +302,35 @@ def train_ivf_centroids(
         c_mat = np.where(nz[:, None], sums / np.maximum(counts, 1)[:, None], c_mat)
         bc.destroy()
     return c_mat
+
+
+def save_centroids(centroids, path: str) -> None:
+    """Persist a trained quantizer (train once offline, reuse across
+    query jobs — the 100 TB lifecycle). Plain JSON: small (n_centroids
+    x dim floats), engine-agnostic, exact (repr round-trips float64)."""
+    import json
+
+    c = np.asarray(centroids, dtype=np.float64)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"kind": "ivf_centroids", "n": int(c.shape[0]),
+                   "dim": int(c.shape[1]),
+                   "centroids": [[float(x) for x in row] for row in c]}, f)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_centroids(path: str) -> np.ndarray:
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("kind") != "ivf_centroids":
+        raise ValueError(f"{path} is not a saved IVF centroid set")
+    c = np.asarray(doc["centroids"], dtype=np.float64)
+    assert c.shape == (doc["n"], doc["dim"])
+    return c
 
 
 def ivf_assign(

@@ -51,7 +51,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..config import TextConfig
 from ..functions.bm25 import tokenscore_expr
 from ..functions.udfs import bow_long
 from ..operators.postings import build_posting_blocks
