@@ -10,14 +10,18 @@ the WAND kernel).
 
 ``compact_index`` folds everything back into single base tables:
 
-1. stage the merged tables under ``_compact_tmp/`` — blocks go through
-   ``operators.postings.compact_blocks`` (re-encoding only fragmented
-   (token, block_id) groups), postings/doclens are rewritten unioned;
+1. stage the rewritten BLOCKS table under ``_compact_tmp/`` —
+   ``operators.postings.compact_blocks`` re-encodes only fragmented
+   (token, block_id) groups. Postings/doclens are NOT rewritten:
+   row-level parquet never fragments the way block rows do, so their
+   append part-files are merely MOVED into the base dirs at swap time
+   (metadata renames — compaction stays O(blocks), never O(index));
 2. commit by atomically renaming ``COMMIT.json`` into the tmp dir
-   (records the consumed append batch ids);
-3. swap: old tables aside, staged tables in, consumed append dirs and
-   their manifests deleted (``sources.io.finish_compaction`` — also the
-   crash-recovery path, run by every load before reading).
+   (records the consumed append batch ids + which tables were staged);
+3. swap: old blocks aside, staged blocks in, append postings/doclens
+   part-files moved into base, consumed append dirs and manifests
+   deleted (``sources.io.finish_compaction`` — also the crash-recovery
+   path, run by every load before reading).
 
 A crash before (2) leaves an abandoned tmp dir that the next reader
 deletes; a crash after (2) is finished by the next reader. Appends are
@@ -90,18 +94,18 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)  # abandoned (uncommitted) attempt
 
+    # only the BLOCKS table is rewritten (fragmented (token, block_id)
+    # groups re-encode); postings/doclens parquet files never fragment
+    # at the row level, so the swap just MOVES the appends' part-files
+    # into the base dirs (finish_compaction) — at 10^12 scale this
+    # keeps compaction cost O(blocks + file renames), not O(index)
     merged = compact_blocks(idx.blocks, idx.bm25).select(*BLOCKS_COLUMNS)
     (
         merged.repartition("token").sortWithinPartitions("token", "block_id")
         .write.parquet(os.path.join(tmp, "blocks"))
     )
-    (
-        idx.postings.repartition("token").sortWithinPartitions("token", "doc_id")
-        .write.parquet(os.path.join(tmp, "postings"))
-    )
-    idx.doclens.write.parquet(os.path.join(tmp, "doclens"))
 
-    commit = {"appends": ids, "staged_at": time.time()}
+    commit = {"appends": ids, "staged": ["blocks"], "staged_at": time.time()}
     commit_tmp = os.path.join(tmp, "COMMIT.json.tmp")
     with open(commit_tmp, "w") as f:
         json.dump(commit, f, indent=1, sort_keys=True)

@@ -85,12 +85,28 @@ def read_table(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
 def finish_compaction(index_dir: str) -> None:
     """Recovery half of the compaction protocol (plans/maintenance.py).
 
-    Compaction stages rewritten tables under ``_compact_tmp/`` and
-    commits by atomically renaming ``COMMIT.json`` into it; the swap
-    (old table aside -> staged table in -> consumed appends deleted) is
-    this function, and it is idempotent: a crash anywhere mid-swap is
-    finished by the next reader/writer calling it. A ``_compact_tmp``
-    WITHOUT a COMMIT.json is an abandoned attempt and is deleted."""
+    Compaction stages REWRITTEN tables under ``_compact_tmp/`` (only
+    ``blocks`` needs rewriting — fragmented (token, block_id) groups
+    are re-encoded) and commits by atomically renaming ``COMMIT.json``
+    into it. This function performs the swap and is idempotent — a
+    crash anywhere mid-way is finished by the next reader/writer:
+
+    1. each table staged in the tmp dir replaces its base dir
+       (old aside -> staged in -> old deleted);
+    2. for every consumed append, tables NOT staged (postings,
+       doclens) have their parquet part-files MOVED into the base dirs
+       — a metadata rename, no rewrite: at 10^12 scale rewriting the
+       whole postings table per compaction would be O(index) churn for
+       nothing, since row-level parquet files never fragment the way
+       block rows do (a dir union and a dir holding the same files are
+       the same table);
+    3. consumed append dirs + manifests are deleted, then the tmp dir.
+
+    Filenames are prefixed with the batch id on move, so re-running
+    after a mid-move crash moves only the files still in the append
+    dir. A ``_compact_tmp`` WITHOUT a COMMIT.json is an abandoned
+    attempt and is deleted. Single maintenance writer assumed (same as
+    appends)."""
     import shutil
 
     tmp = os.path.join(index_dir, COMPACT_TMP)
@@ -102,6 +118,8 @@ def finish_compaction(index_dir: str) -> None:
         return
     with open(commit_p) as f:
         commit = json.load(f)
+    staged_tables = set(commit.get("staged", [t for t in _TABLES
+                                              if os.path.isdir(os.path.join(tmp, t))]))
     for t in _TABLES:
         staged = os.path.join(tmp, t)
         base = os.path.join(index_dir, t)
@@ -117,6 +135,19 @@ def finish_compaction(index_dir: str) -> None:
     for bid in commit.get("appends", []):
         d = append_batch_dir(index_dir, bid)
         if os.path.isdir(d):
+            for t in _TABLES:
+                if t in staged_tables:
+                    continue  # superseded by the staged rewrite
+                src = os.path.join(d, t)
+                if not os.path.isdir(src):
+                    continue
+                dst = os.path.join(index_dir, t)
+                os.makedirs(dst, exist_ok=True)
+                for fn in os.listdir(src):
+                    if not fn.endswith(".parquet"):
+                        continue  # skip _SUCCESS/.crc markers
+                    os.replace(os.path.join(src, fn),
+                               os.path.join(dst, f"append-{bid}-{fn}"))
             shutil.rmtree(d)
         m = append_manifest_path(index_dir, bid)
         if os.path.exists(m):
