@@ -269,6 +269,50 @@ def test_compaction_crash_recovery(spark, golden_corpus_df, tmp_path):
     assert recovered == before
 
 
+def test_compaction_crash_mid_file_move(spark, golden_corpus_df, tmp_path):
+    """Committed compaction killed halfway through moving an append's
+    postings part-files into the base dir: recovery must move only the
+    remaining files — no row lost, none duplicated."""
+    import json as _json
+    import os
+    import shutil
+
+    from textsearch_spark.sources.io import COMPACT_TMP, append_batch_dir
+
+    path = str(tmp_path / "idx")
+    _base_index(spark, golden_corpus_df, path)
+    new = spark.createDataFrame(
+        [(8, "la manzana verde"), (9, "la hoja roja")], "doc_id long, text string"
+    )
+    append_batch_to_index(spark, path, new, doc_col="doc_id", batch_id=0,
+                          auto_compact_after=None)
+    idx = load_index(spark, path)
+    postings_before = idx.postings.count()
+    doclens_before = idx.doclens.count()
+
+    # committed compaction state: staged blocks (faithful copy of the
+    # logical table is not needed for this test — reuse base blocks),
+    # COMMIT naming append 0, and ONE postings part-file already moved
+    tmp = os.path.join(path, COMPACT_TMP)
+    os.makedirs(tmp)
+    shutil.copytree(os.path.join(path, "blocks"), os.path.join(tmp, "blocks"))
+    with open(os.path.join(tmp, "COMMIT.json"), "w") as f:
+        _json.dump({"appends": ["0"], "staged": ["blocks"]}, f)
+    src = os.path.join(append_batch_dir(path, 0), "postings")
+    parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert parts, "append should have postings part-files"
+    os.replace(os.path.join(src, parts[0]),
+               os.path.join(path, "postings", f"append-0-{parts[0]}"))
+
+    # crash here; next load rolls the swap forward idempotently
+    idx = load_index(spark, path)
+    assert idx.postings.count() == postings_before
+    assert idx.doclens.count() == doclens_before
+    assert idx.postings.select("doc_id", "token").distinct().count() == postings_before
+    assert not os.path.isdir(append_batch_dir(path, 0))
+    assert not os.path.isdir(tmp)
+
+
 def test_stream_append_file_source(spark, golden_corpus_df, tmp_path):
     path = str(tmp_path / "idx")
     _base_index(spark, golden_corpus_df, path)
