@@ -42,11 +42,64 @@ def test_stream_vocab_file_source(spark, tmp_path, golden_corpus_df):
     q = stream_vocab(stream, cfg, str(tmp_path / "state"),
                      checkpoint_dir=str(tmp_path / "ckpt"))
     q.awaitTermination(120)
-    merged = spark.read.parquet(str(tmp_path / "state" / "vocab"))
+    from textsearch_spark.streaming.incremental import read_vocab_state
+
+    merged = read_vocab_state(spark, str(tmp_path / "state"))
     full = build_vocab(golden_corpus_df, cfg)
     got = {(r.token, r.occs, r.ndocs) for r in merged.collect()}
     want = {(r.token, r.occs, r.ndocs) for r in full.collect()}
     assert got == want
+
+
+def test_vocab_merge_replay_idempotent(spark, tmp_path, golden_corpus_df):
+    """A replayed streaming epoch (same batch_id) must not double-count
+    occs/ndocs/corpuslen — same exactly-once bar as the index append."""
+    from textsearch_spark.operators.vocab import build_vocab
+    from textsearch_spark.streaming.incremental import (
+        merge_vocab_increment, read_corpuslen, read_vocab_state,
+    )
+
+    state = str(tmp_path / "state")
+    cfg = TextConfig(nlist=[1])
+    a = golden_corpus_df.filter("doc_id <= 3")
+    b = golden_corpus_df.filter("doc_id > 3")
+    merge_vocab_increment(a, cfg, state, batch_id=0)
+    merge_vocab_increment(b, cfg, state, batch_id=1)
+    merge_vocab_increment(b, cfg, state, batch_id=1)  # replayed epoch
+    merged = read_vocab_state(spark, state)
+    full = build_vocab(golden_corpus_df, cfg)
+    got = {(r.token, r.occs, r.ndocs) for r in merged.collect()}
+    want = {(r.token, r.occs, r.ndocs) for r in full.collect()}
+    assert got == want
+    assert read_corpuslen(state) == 7  # not 11
+
+
+def test_vocab_state_crash_keeps_previous_snapshot(spark, tmp_path, golden_corpus_df):
+    """An uncommitted new version dir (crash before the state.json
+    pointer rename) must be invisible; the previous snapshot and its
+    corpuslen stay consistent."""
+    import os
+
+    from textsearch_spark.streaming.incremental import (
+        merge_vocab_increment, read_corpuslen, read_vocab_state,
+    )
+
+    state = str(tmp_path / "state")
+    cfg = TextConfig(nlist=[1])
+    merge_vocab_increment(golden_corpus_df.filter("doc_id <= 3"), cfg, state,
+                          batch_id=0)
+    before = {(r.token, r.occs, r.ndocs)
+              for r in read_vocab_state(spark, state).collect()}
+    # simulate the crash: a staged-but-unreferenced next version
+    os.makedirs(os.path.join(state, "vocab_v99"))
+    assert {(r.token, r.occs, r.ndocs)
+            for r in read_vocab_state(spark, state).collect()} == before
+    assert read_corpuslen(state) == 3
+    # the next successful merge supersedes and sweeps the leftover
+    merge_vocab_increment(golden_corpus_df.filter("doc_id > 3"), cfg, state,
+                          batch_id=1)
+    assert read_corpuslen(state) == 7
+    assert not os.path.isdir(os.path.join(state, "vocab_v99"))
 
 
 def test_angle_distance_golden(spark):

@@ -30,54 +30,88 @@ from ..config import TextConfig
 from ..operators.vocab import build_vocab, merge_vocab
 
 
-def _read_state(spark: SparkSession, state_dir: str) -> Optional[DataFrame]:
-    p = os.path.join(state_dir, "vocab")
-    if os.path.isdir(p):
-        spark.catalog.refreshByPath(p)
-        return spark.read.parquet(p)
-    return None
-
-
-def _write_state(vocab: DataFrame, state_dir: str, corpuslen: int) -> None:
-    import json
-
-    os.makedirs(state_dir, exist_ok=True)
-    # write-new-then-swap keeps readers of the old snapshot consistent
-    tmp = os.path.join(state_dir, "vocab__new")
-    vocab.write.mode("overwrite").parquet(tmp)
-    final = os.path.join(state_dir, "vocab")
-    if os.path.isdir(final):
-        import shutil
-
-        shutil.rmtree(final)
-    os.replace(tmp, final)
-    with open(os.path.join(state_dir, "state.json"), "w") as f:
-        json.dump({"corpuslen": corpuslen}, f)
-
-
-def read_corpuslen(state_dir: str) -> int:
+def _load_meta(state_dir: str) -> dict:
     import json
 
     p = os.path.join(state_dir, "state.json")
     if not os.path.exists(p):
-        return 0
+        return {"corpuslen": 0, "version": 0, "vocab_dir": None,
+                "last_batch_id": None}
     with open(p) as f:
-        return json.load(f)["corpuslen"]
+        meta = json.load(f)
+    # legacy layout: a bare "vocab" dir with no pointer in state.json
+    if "vocab_dir" not in meta:
+        meta["vocab_dir"] = "vocab" if os.path.isdir(os.path.join(state_dir, "vocab")) else None
+        meta.setdefault("version", 0)
+        meta.setdefault("last_batch_id", None)
+    return meta
+
+
+def read_vocab_state(spark: SparkSession, state_dir: str) -> Optional[DataFrame]:
+    """The committed vocabulary snapshot (None before the first merge)."""
+    meta = _load_meta(state_dir)
+    if meta["vocab_dir"] is None:
+        return None
+    p = os.path.join(state_dir, meta["vocab_dir"])
+    spark.catalog.refreshByPath(p)
+    return spark.read.parquet(p)
+
+
+def _commit_state(vocab: DataFrame, state_dir: str, corpuslen: int,
+                  version: int, batch_id) -> None:
+    """Versioned snapshot + pointer commit: the new vocabulary parquet
+    lands in its own ``vocab_v{n}`` dir, then ``state.json`` (the
+    pointer: dir, corpuslen, last applied batch id) is renamed in
+    atomically. A crash anywhere leaves the previous pointer intact and
+    consistent — corpuslen can never disagree with the vocabulary it
+    describes, and the old snapshot is never deleted before the new one
+    is committed (the rmtree-then-rename swap this replaces could lose
+    the only snapshot). Superseded version dirs are swept AFTER the
+    commit; leftovers from a crash are swept by the next commit."""
+    import json
+    import shutil
+
+    os.makedirs(state_dir, exist_ok=True)
+    new_dir = f"vocab_v{version}"
+    vocab.write.mode("overwrite").parquet(os.path.join(state_dir, new_dir))
+    tmp = os.path.join(state_dir, "state.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"corpuslen": corpuslen, "version": version,
+                   "vocab_dir": new_dir, "last_batch_id": batch_id}, f)
+    os.replace(tmp, os.path.join(state_dir, "state.json"))  # commit point
+    for d in os.listdir(state_dir):
+        if (d.startswith("vocab_v") or d == "vocab") and d != new_dir:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+
+def read_corpuslen(state_dir: str) -> int:
+    return _load_meta(state_dir)["corpuslen"]
 
 
 def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, *,
-                          doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                          doc_col: str = "doc_id", text_col: str = "text",
+                          batch_id=None) -> DataFrame:
     """Merge one block of new docs into the persisted vocabulary;
-    returns the merged vocabulary DataFrame."""
+    returns the merged vocabulary DataFrame.
+
+    ``batch_id`` (monotonic, e.g. the streaming epoch) makes replays
+    idempotent: a batch id already recorded in the committed state is
+    skipped — without this, a foreachBatch retry would double-count
+    occs/ndocs/corpuslen for the replayed docs."""
     spark = new_docs.sparkSession
+    meta = _load_meta(state_dir)
+    if batch_id is not None and meta["last_batch_id"] is not None \
+            and batch_id <= meta["last_batch_id"]:
+        return read_vocab_state(spark, state_dir)
     inc = build_vocab(new_docs, cfg, doc_col=doc_col, text_col=text_col)
-    prev = _read_state(spark, state_dir)
-    # the merged plan reads the old snapshot lazily; _write_state writes
-    # to a sibling dir first and swaps, so the read stays consistent
+    prev = read_vocab_state(spark, state_dir)
+    # the merged plan reads the old snapshot lazily; _commit_state
+    # writes the merge into a NEW version dir, so the read stays
+    # consistent and the old snapshot survives until the commit
     merged = merge_vocab(prev, inc) if prev is not None else inc
-    n = read_corpuslen(state_dir) + new_docs.count()
-    _write_state(merged, state_dir, n)
-    return _read_state(spark, state_dir)
+    n = meta["corpuslen"] + new_docs.count()
+    _commit_state(merged, state_dir, n, meta["version"] + 1, batch_id)
+    return read_vocab_state(spark, state_dir)
 
 
 def stream_vocab(stream_df: DataFrame, cfg: TextConfig, state_dir: str, *,
@@ -85,12 +119,14 @@ def stream_vocab(stream_df: DataFrame, cfg: TextConfig, state_dir: str, *,
                  trigger_available_now: bool = True):
     """readStream docs -> incremental vocabulary. Returns the started
     StreamingQuery; callers await it (availableNow processes the
-    backlog then stops, mirroring block-buffered ingestion)."""
+    backlog then stops, mirroring block-buffered ingestion). Epoch ids
+    key the committed state, so replays are exactly-once."""
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_vocab_increment(batch_df, cfg, state_dir, doc_col=doc_col, text_col=text_col)
+        merge_vocab_increment(batch_df, cfg, state_dir, doc_col=doc_col,
+                              text_col=text_col, batch_id=batch_id)
 
     writer = stream_df.writeStream.foreachBatch(update).option(
         "checkpointLocation", checkpoint_dir
