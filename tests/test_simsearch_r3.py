@@ -71,6 +71,31 @@ def test_trained_ivf_balances_lists(spark, clustered_emb):
     assert max_t <= 4 * mean_t
 
 
+def test_ivf_preassigned_matches_inline(spark, clustered_emb):
+    """A persisted/pre-computed assignment table must give identical
+    results to the inline quantizer pass (the once-per-lifetime vs
+    once-per-batch cost split)."""
+    from textsearch_spark.operators.simsearch import (
+        ivf_assign, ivf_cosine_topk, train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(clustered_emb, 8, n_iter=2)
+    pre = ivf_assign(clustered_emb, centroids=cents).cache()
+    pre.count()
+    qids = list(range(10))
+    inline = sorted((r.query_id, r.rank, r.neighbor_id, round(r.cos, 9))
+                    for r in ivf_cosine_topk(clustered_emb, qids, k=5,
+                                             centroids=cents, nprobe=3).collect())
+    reused = sorted((r.query_id, r.rank, r.neighbor_id, round(r.cos, 9))
+                    for r in ivf_cosine_topk(clustered_emb, qids, k=5,
+                                             centroids=cents, assigned=pre,
+                                             nprobe=3).collect())
+    pre.unpersist()
+    assert inline == reused and inline
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_cosine_topk(clustered_emb, qids, k=5, assigned=pre)
+
+
 def test_centroid_persistence_roundtrip(spark, clustered_emb, tmp_path):
     """Trained quantizers persist exactly and reproduce identical
     assignments when reloaded (train offline once, query many times)."""

@@ -385,6 +385,7 @@ def ivf_cosine_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     centroids=None,
+    assigned: "Optional[DataFrame]" = None,
     check_skew: bool = False,
     skew_warn_ratio: float = 8.0,
     id_col: str = "vec_id",
@@ -401,16 +402,26 @@ def ivf_cosine_topk(
     Pass a trained ``centroids=`` matrix for balanced lists;
     ``check_skew=True`` adds one counting pass that raises if the
     largest list exceeds ``skew_warn_ratio`` x the mean (the untrained-
-    quantizer failure mode)."""
+    quantizer failure mode).
+
+    ``assigned=`` takes a pre-computed assignment table (the output of
+    ``ivf_assign``, typically persisted/bucketed by centroid_id) so the
+    corpus-wide quantizer pass runs ONCE per index lifetime, not once
+    per query batch; ``centroids=`` must then be the same matrix the
+    assignment was built with (it still drives the probe selection)."""
     assert len(query_ids) <= MAX_QUERY_BATCH, (
         f"query batch {len(query_ids)} exceeds {MAX_QUERY_BATCH}; split the batch"
     )
+    if assigned is not None and centroids is None:
+        raise ValueError("assigned= requires the matching centroids= matrix "
+                         "(probe selection needs the centroid vectors)")
     spark = embeddings.sparkSession
     c_ids, c_mat = _resolve_centroids(embeddings, n_centroids, centroids,
                                       id_col, vec_col)
     c_sq = 0.5 * np.einsum("ij,ij->i", c_mat, c_mat)
-    assigned = ivf_assign(embeddings, n_centroids, centroids=centroids,
-                          id_col=id_col, vec_col=vec_col)
+    if assigned is None:
+        assigned = ivf_assign(embeddings, n_centroids, centroids=centroids,
+                              id_col=id_col, vec_col=vec_col)
     if check_skew:
         sizes = np.array([r.n for r in ivf_list_stats(assigned).collect()])
         # mean over ALL lists (empty ones included — a collapsed

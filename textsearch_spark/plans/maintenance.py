@@ -33,6 +33,14 @@ once ``auto_compact_after`` committed appends accumulate, closing the
 The reference has no analogue — its in-memory adjacency lists never
 fragment; compaction is the price of the pure-append at-scale layout
 and replaces the reference's whole-index re-serialization (src/io.jl).
+
+Deployment note: the commit/swap protocol relies on atomic rename,
+which holds on POSIX filesystems and HDFS. On an object store (S3/GCS)
+rename is copy+delete — run this layout through a table format that
+provides the transaction instead (Iceberg/Delta: the append batches
+become table appends, compaction becomes a rewrite-files transaction),
+or point the index at an HDFS-compatible path. The table shapes and
+job structure carry over unchanged.
 """
 
 from __future__ import annotations
