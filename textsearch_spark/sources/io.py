@@ -118,8 +118,12 @@ def finish_compaction(index_dir: str) -> None:
         return
     with open(commit_p) as f:
         commit = json.load(f)
-    staged_tables = set(commit.get("staged", [t for t in _TABLES
-                                              if os.path.isdir(os.path.join(tmp, t))]))
+    # default matches the protocol (blocks is always the staged table).
+    # Deriving the set from the tmp dirs instead would be wrong on
+    # RE-ENTRY: after the blocks swap, tmp/blocks is gone, and treating
+    # blocks as unstaged would move the appends' block files into the
+    # already-rewritten base — double-counting every appended posting.
+    staged_tables = set(commit.get("staged", ["blocks"]))
     for t in _TABLES:
         staged = os.path.join(tmp, t)
         base = os.path.join(index_dir, t)
