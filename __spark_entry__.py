@@ -792,6 +792,23 @@ def q_bm25_topk_appended(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+# Driver-window ordering contract (r03 verdict item 1): the per-round
+# driver records correctness for only the first ~DRIVER_WINDOW entries
+# of the queries() dict — in r03 two entries silently fell off the end
+# with no error recorded. Ordering is therefore load-bearing:
+#   1. positions 1..DRIVER_WINDOW hold DuckDB-oracle entries (the hard
+#      rows+schema+hash gate);
+#   2. overflow ORACLE entries — deliberately the most redundant
+#      evidence (variants of operators already in the window) — come
+#      next; tests/test_oracle_overflow.py hard-checks every one of
+#      them against the same DuckDB oracle at the driver's sf;
+#   3. rows-only entries (no SQL oracle by nature) go last.
+# test_oracle_overflow.py asserts this layout, so adding an entry in
+# the wrong position fails the suite rather than silently dropping a
+# correctness check.
+DRIVER_WINDOW = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_unigrams": q_vocab,
@@ -828,7 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid": q_centroid,
         "filter_tokens": q_filter_tokens,
         "tp_idf_vectorize": q_tp_idf,
-        "freq_binary_vectorize": q_freq_binary,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "model_quantile_pruned": q_model_quantile_pruned,
         "multi_message_bow": q_multi_message_bow,
         "stopword_bow": q_stopword_bow,
@@ -844,7 +861,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_appended": q_bm25_topk_appended,
         "bm25_topk_compacted": q_bm25_topk_compacted,
         "bm25_topk_wand_chunked": q_bm25_topk_wand_chunked,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
+        # ---- past the driver window: oracle entries below are checked
+        # by tests/test_oracle_overflow.py (redundant variants only)
+        "freq_binary_vectorize": q_freq_binary,
+        # ---- rows-only entries (no SQL oracle) stay last
         "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,
     }
 

@@ -160,7 +160,7 @@ def _bench_zipf(cpus: int, timings: dict, meta: dict, n_docs: int):
     search_bm25(idx, qdf, 10).count()
     timings["zipf_query_naive_512"] = time.time() - t0
 
-    # default n_buckets (>= ~32 ranges per bucket so theta has ranges to
+    # default n_buckets (>= MIN_RANGES_PER_BUCKET=32 ranges per bucket so theta has ranges to
     # prune); query_groups for parallelism without touching prune depth
     search_bm25_wand(idx, qdf, 10, query_groups=8).count()
     ctr = WandCounters(spark)

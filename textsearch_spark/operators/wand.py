@@ -279,9 +279,9 @@ def search_bm25_wand(
       into. FEWER buckets = more ranges per bucket = deeper BMW pruning
       (theta carries across more ranges), but coarser tasks. Default:
       ``min(shuffle partitions, n_blocks / MIN_RANGES_PER_BUCKET)`` —
-      every bucket owns >= ~8 doc ranges so the bound test has ranges
-      to skip; raise ``query_groups`` for parallelism instead of
-      raising ``n_buckets`` past that.
+      every bucket owns >= MIN_RANGES_PER_BUCKET (32) doc ranges so the
+      bound test has ranges to skip; raise ``query_groups`` for
+      parallelism instead of raising ``n_buckets`` past that.
     - ``query_groups`` — splits the query batch into groups hashed by
       query_id; the scoring stage groups by (bucket, query_group), so
       parallelism is ``n_buckets * query_groups`` WITHOUT touching
@@ -292,8 +292,8 @@ def search_bm25_wand(
       bucket's blobs.
 
     For large batches over modest block counts (the common shape), pick
-    n_buckets so each bucket holds >= ~8 ranges and raise query_groups
-    for parallelism.
+    n_buckets so each bucket holds >= MIN_RANGES_PER_BUCKET ranges and
+    raise query_groups for parallelism.
     """
     assert index.blocks is not None, "build_posting_blocks first (or io.load_index)"
     from .postings import validate_blocks_schema
@@ -309,7 +309,8 @@ def search_bm25_wand(
     if n_buckets is None:
         # estimate the block-id space from fit-time stats (ids start at
         # the low doc ids, so n_blocks ~= n_docs/span); one tiny limit(1)
-        # job fetches the span. Bucket so each holds >= ~8 ranges.
+        # job fetches the span. Bucket so each bucket holds >=
+        # MIN_RANGES_PER_BUCKET (32) doc ranges.
         span_row = index.blocks.select("span").limit(1).collect()
         span = int(span_row[0][0]) if span_row else 4096
         n_blocks = max(1, -(-int(index.n_docs) // span))

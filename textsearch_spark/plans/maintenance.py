@@ -35,12 +35,16 @@ fragment; compaction is the price of the pure-append at-scale layout
 and replaces the reference's whole-index re-serialization (src/io.jl).
 
 Deployment note: the commit/swap protocol relies on atomic rename,
-which holds on POSIX filesystems and HDFS. On an object store (S3/GCS)
-rename is copy+delete — run this layout through a table format that
-provides the transaction instead (Iceberg/Delta: the append batches
-become table appends, compaction becomes a rewrite-files transaction),
-or point the index at an HDFS-compatible path. The table shapes and
-job structure carry over unchanged.
+which holds on local POSIX filesystems (or a POSIX-mounted DFS); the
+implementation uses ``os.rename``/``os.replace``/``shutil`` and
+``open()``, so the index must live on a locally-mountable path — it
+cannot address ``hdfs://``/``s3://`` URIs directly. On an object store
+(S3/GCS) rename is copy+delete anyway — use the transaction-log
+backend (``sources/txnlog.py``) whose only required primitive is
+atomic create-if-absent (conditional PUT), or run the layout through a
+table format that provides the transaction (Iceberg/Delta: the append
+batches become table appends, compaction becomes a rewrite-files
+transaction). The table shapes and job structure carry over unchanged.
 """
 
 from __future__ import annotations
