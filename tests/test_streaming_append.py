@@ -244,9 +244,13 @@ def test_compaction_crash_recovery(spark, golden_corpus_df, tmp_path):
     after = sorted((r.rank, r.doc_id, round(r.score, 10))
                    for r in search_bm25_wand(idx, q, 8, n_buckets=2).collect())
     assert before == after
-    # an abandoned tmp dir without COMMIT.json is swept on next load
+    # an abandoned tmp dir without COMMIT.json is NOT swept by readers
+    # (indistinguishable from a live writer's in-progress staging, r03
+    # ADVICE item 1) — the next maintenance entry point sweeps it
     os.makedirs(os.path.join(path, COMPACT_TMP, "blocks"))
     load_index(spark, path)
+    assert os.path.isdir(os.path.join(path, COMPACT_TMP)), "reader must not delete staging"
+    compact_index(spark, path)
     assert not os.path.isdir(os.path.join(path, COMPACT_TMP))
 
     # genuine interrupted swap: committed tmp staged, base moved aside,
@@ -341,3 +345,65 @@ def test_stream_append_file_source(spark, golden_corpus_df, tmp_path):
     wand = sorted((r.rank, r.doc_id, round(r.score, 10))
                   for r in search_bm25_wand(idx, qdf, 6, n_buckets=3).collect())
     assert naive == wand
+
+
+def test_maintenance_lock_excludes_cross_process(spark, golden_corpus_df, tmp_path):
+    """The maintenance lock is a real cross-process flock: while another
+    process holds it, append/compact entry points time out instead of
+    racing; when the holder dies (even via SIGKILL) the kernel releases
+    the lock and the next acquire succeeds immediately."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import pytest as _pytest
+
+    from textsearch_spark.sources.io import MAINT_LOCK, maintenance_lock
+
+    path = str(tmp_path / "idx")
+    _base_index(spark, golden_corpus_df, path)
+
+    holder = subprocess.Popen(
+        [sys.executable, "-c", (
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open(os.path.join({path!r}, {MAINT_LOCK!r}), os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('held', flush=True)\n"
+            "time.sleep(60)\n"
+        )],
+        stdout=subprocess.PIPE, text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "held"
+        with _pytest.raises(TimeoutError, match="maintenance lock busy"):
+            with maintenance_lock(path, timeout=0.5):
+                pass
+        # kernel releases a dead holder's flock: no stale-lock state
+        holder.send_signal(signal.SIGKILL)
+        holder.wait()
+        t0 = time.monotonic()
+        with maintenance_lock(path, timeout=5.0):
+            assert time.monotonic() - t0 < 2.0
+    finally:
+        if holder.poll() is None:
+            holder.kill()
+            holder.wait()
+
+
+def test_maintenance_lock_reentrant(spark, golden_corpus_df, tmp_path):
+    """append -> auto-compact -> load_index all nest inside one lock
+    hold without deadlocking (reentrancy within a process)."""
+    from textsearch_spark.sources.io import maintenance_lock
+
+    path = str(tmp_path / "idx")
+    _base_index(spark, golden_corpus_df, path)
+    with maintenance_lock(path, timeout=1.0):
+        new = spark.createDataFrame([(8, "la manzana verde")], "doc_id long, text string")
+        m = append_batch_to_index(spark, path, new, doc_col="doc_id",
+                                  batch_id="re", auto_compact_after=1)
+        assert m["n_docs_appended"] == 1
+        assert "compaction" in m  # auto-compaction ran nested
+    idx = load_index(spark, path)
+    assert idx.doclens.count() == 8

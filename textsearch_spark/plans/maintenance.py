@@ -61,6 +61,7 @@ from ..sources.io import (
     committed_append_ids,
     finish_compaction,
     load_index,
+    maintenance_lock,
     read_table,
 )
 from .checkpoint import write_manifest
@@ -91,10 +92,19 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     """Fold committed appends into the base tables (protocol above).
     Idempotent and crash-safe; returns the compaction metrics (also
     written to the ``compaction`` manifest). No-op shortcut only when
-    there is nothing staged AND no block fragmentation."""
+    there is nothing staged AND no block fragmentation. Runs under the
+    maintenance lock (readers roll-forward under the same lock, so no
+    reader can observe or interfere with a half-applied swap)."""
+    with maintenance_lock(index_dir):
+        return _compact_locked(spark, index_dir)
+
+
+def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
     import shutil
 
-    finish_compaction(index_dir)  # complete any prior committed swap
+    # complete any prior committed swap; holding the lock makes the
+    # destructive sweep of an uncommitted tmp safe (no live writer)
+    finish_compaction(index_dir, destructive=True)
     t0 = time.time()
     before = fragmentation(spark, index_dir)
     ids = committed_append_ids(index_dir)
@@ -122,7 +132,7 @@ def compact_index(spark: SparkSession, index_dir: str) -> dict:
     with open(commit_tmp, "w") as f:
         json.dump(commit, f, indent=1, sort_keys=True)
     os.replace(commit_tmp, os.path.join(tmp, "COMMIT.json"))  # commit point
-    finish_compaction(index_dir)
+    finish_compaction(index_dir, destructive=True)
 
     after = fragmentation(spark, index_dir)
     metrics = {

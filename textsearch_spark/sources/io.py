@@ -33,7 +33,65 @@ from ..plans.build import BM25Index
 META = "meta.json"
 APPENDS_DIR = "appends"
 COMPACT_TMP = "_compact_tmp"
+MAINT_LOCK = "_maintenance.lock"
 _TABLES = ("blocks", "postings", "doclens")
+
+# index dirs (realpaths) whose maintenance lock THIS process already
+# holds — makes maintenance_lock reentrant (compact_index calls
+# load_index, which takes the lock for committed-swap roll-forward)
+_HELD_LOCKS: set[str] = set()
+
+
+def maintenance_lock(index_dir: str, *, timeout: float = 120.0):
+    """Exclusive per-index maintenance lock (flock on
+    ``<index>/_maintenance.lock``).
+
+    Held by every mutating entry point (append_batch_to_index,
+    compact_index) and by readers for the brief committed-swap
+    roll-forward in load_index — so a reader can never race a live
+    writer's swap (r03 ADVICE item 1). flock is released by the kernel
+    when the holder dies, so a SIGKILLed maintenance job never leaves a
+    stale lock. Reentrant within one process. Scope: one host / a
+    POSIX-shared mount with working flock; multi-host object-store
+    deployments should use the transaction-log backend
+    (sources/txnlog.py), which needs no lock for readers at all."""
+    import contextlib
+    import fcntl
+    import time as _time
+
+    @contextlib.contextmanager
+    def _lock():
+        key = os.path.realpath(index_dir)
+        if key in _HELD_LOCKS:
+            yield
+            return
+        path = os.path.join(index_dir, MAINT_LOCK)
+        fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            deadline = _time.monotonic() + timeout
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except (BlockingIOError, InterruptedError):
+                    if _time.monotonic() >= deadline:
+                        raise TimeoutError(
+                            f"maintenance lock busy for {timeout}s: {path} "
+                            "(another maintenance job is running on this index)"
+                        )
+                    _time.sleep(0.05)
+            os.ftruncate(fd, 0)
+            os.write(fd, json.dumps({"pid": os.getpid()}).encode())
+            _HELD_LOCKS.add(key)
+            try:
+                yield
+            finally:
+                _HELD_LOCKS.discard(key)
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+    return _lock()
 
 
 def append_manifest_path(index_dir: str, batch_id) -> str:
@@ -82,7 +140,7 @@ def read_table(spark: SparkSession, index_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
-def finish_compaction(index_dir: str) -> None:
+def finish_compaction(index_dir: str, *, destructive: bool = False) -> None:
     """Recovery half of the compaction protocol (plans/maintenance.py).
 
     Compaction stages REWRITTEN tables under ``_compact_tmp/`` (only
@@ -104,9 +162,17 @@ def finish_compaction(index_dir: str) -> None:
 
     Filenames are prefixed with the batch id on move, so re-running
     after a mid-move crash moves only the files still in the append
-    dir. A ``_compact_tmp`` WITHOUT a COMMIT.json is an abandoned
-    attempt and is deleted. Single maintenance writer assumed (same as
-    appends)."""
+    dir.
+
+    A ``_compact_tmp`` WITHOUT a COMMIT.json is either an abandoned
+    crashed attempt or a LIVE writer's in-progress staging — the two
+    are indistinguishable to a reader, so only maintenance entry
+    points (which hold the maintenance lock and thus know no other
+    writer is live) may delete it: ``destructive=True``. Readers
+    (load_index) call with the default ``destructive=False`` and only
+    roll FORWARD a committed swap, never delete an uncommitted tmp
+    (r03 ADVICE item 1). Callers must hold ``maintenance_lock`` —
+    concurrent roll-forwards would race the renames."""
     import shutil
 
     tmp = os.path.join(index_dir, COMPACT_TMP)
@@ -114,7 +180,8 @@ def finish_compaction(index_dir: str) -> None:
         return
     commit_p = os.path.join(tmp, "COMMIT.json")
     if not os.path.exists(commit_p):
-        shutil.rmtree(tmp)
+        if destructive:
+            shutil.rmtree(tmp)
         return
     with open(commit_p) as f:
         commit = json.load(f)
@@ -188,9 +255,14 @@ def save_index(index: BM25Index, path: str, *, postings_partitions: int | None =
 
 
 def load_index(spark: SparkSession, path: str) -> BM25Index:
-    # finish any committed-but-unswapped compaction before reading, so
-    # a crash mid-swap is invisible to readers
-    finish_compaction(path)
+    # roll forward any committed-but-unswapped compaction before
+    # reading, so a crash mid-swap is invisible to readers. Taken under
+    # the maintenance lock so a reader never races a live writer's
+    # swap; an UNCOMMITTED tmp is left untouched (it may be a live
+    # writer's staging — finish_compaction(destructive=False) skips it)
+    if os.path.exists(os.path.join(path, COMPACT_TMP, "COMMIT.json")):
+        with maintenance_lock(path):
+            finish_compaction(path)
     # drop any stale cached file listings from a previous load of the
     # same path (tables may have been overwritten by a rebuild); the
     # logical postings/doclens/blocks tables are base UNION committed

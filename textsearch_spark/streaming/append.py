@@ -60,6 +60,7 @@ from ..sources.io import (
     append_manifest_path,
     committed_append_ids,
     load_index,
+    maintenance_lock,
     read_table,
 )
 
@@ -93,9 +94,10 @@ def append_batch_to_index(
     ``auto_compact_after``: once this many committed appends have
     accumulated, fold them into the base tables
     (plans.maintenance.compact_index) right after this batch commits;
-    None disables. Appends are single-writer (module docstring).
+    None disables. The whole append (staging through commit and
+    auto-compaction) runs under the index's maintenance lock — the
+    single-writer requirement is now enforced, not just documented.
     """
-    import shutil
     import uuid
 
     if batch_id is None:
@@ -103,7 +105,26 @@ def append_batch_to_index(
         # and commit semantics are identical, there is just no caller
         # retry that could reuse it
         batch_id = f"adhoc-{uuid.uuid4().hex[:12]}"
-    elif os.path.exists(append_manifest_path(index_dir, batch_id)):
+    with maintenance_lock(index_dir):
+        return _append_locked(
+            spark, index_dir, new_docs, doc_col=doc_col, text_col=text_col,
+            batch_id=batch_id, auto_compact_after=auto_compact_after,
+        )
+
+
+def _append_locked(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    *,
+    doc_col: Optional[str],
+    text_col: str,
+    batch_id,
+    auto_compact_after: Optional[int],
+) -> dict:
+    import shutil
+
+    if os.path.exists(append_manifest_path(index_dir, batch_id)):
         with open(append_manifest_path(index_dir, batch_id)) as f:
             return json.load(f)["metrics"]
     batch_dir = append_batch_dir(index_dir, batch_id)
