@@ -110,10 +110,20 @@ def shingle_jaccard(shingles: DataFrame, pairs: DataFrame, *, doc_col: str = "do
 
 def minhash_lsh_dedup(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text",
                       shingle_n: int = 3, n_hashes: int = 16, n_bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      shingles: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs: MinHash -> LSH banding -> exact-Jaccard verify.
-    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold."""
-    sh = word_shingles(df, shingle_n, doc_col=doc_col, text_col=text_col).cache()
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    The shingle relation is consumed twice (signatures + the exact
+    verify). By default it is recomputed — a narrow explode, cheap next
+    to the join shuffles — rather than cached inside the function,
+    which would leak a persisted frame the caller never gets a handle
+    to (r03 verdict item 6). Callers looping over parameter grids pass
+    a pre-persisted ``shingles=`` (``word_shingles`` output) and own
+    its lifecycle."""
+    sh = shingles if shingles is not None else word_shingles(
+        df, shingle_n, doc_col=doc_col, text_col=text_col)
     sig = minhash_signatures(sh, n_hashes, doc_col=doc_col)
     pairs = lsh_candidate_pairs(sig, n_bands, doc_col=doc_col)
     return shingle_jaccard(sh, pairs, doc_col=doc_col).filter(F.col("jaccard") >= threshold)
@@ -121,7 +131,8 @@ def minhash_lsh_dedup(df: DataFrame, *, doc_col: str = "doc_id", text_col: str =
 
 def ngram_jaccard_pairs(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text",
                         shingle_n: int = 3, threshold: float = 0.5,
-                        max_df_ratio: float = 1.0) -> DataFrame:
+                        max_df_ratio: float = 1.0,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """Exhaustive near-dup baseline: all pairs sharing >= 1 shingle,
     exact Jaccard >= threshold (Jaccard itself is computed over the
     full shingle sets).
@@ -137,8 +148,13 @@ def ngram_jaccard_pairs(df: DataFrame, *, doc_col: str = "doc_id", text_col: str
     is above the ceiling is missed, which for near-duplicates (sharing
     many shingles) requires ALL their shared shingles to be corpus-hot.
     The default 1.0 keeps the baseline fully exhaustive (the ceiling
-    never trips); large-scale callers opt into e.g. 0.2."""
-    sh = word_shingles(df, shingle_n, doc_col=doc_col, text_col=text_col).cache()
+    never trips); large-scale callers opt into e.g. 0.2.
+
+    ``shingles=``: optional pre-computed (and caller-persisted)
+    ``word_shingles`` output — same no-internal-cache contract as
+    ``minhash_lsh_dedup`` (r03 verdict item 6)."""
+    sh = shingles if shingles is not None else word_shingles(
+        df, shingle_n, doc_col=doc_col, text_col=text_col)
     if max_df_ratio < 1.0:
         n_docs = df.select(doc_col).distinct().count()
         # floor (Python int() on a non-negative float) — the oracle SQL
