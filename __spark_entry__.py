@@ -457,14 +457,19 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_approx_vocab(spark, sf_dir):
-    from textsearch_spark.operators.approxvoc import approx_lookup
+    """Typo lookup routed through the construct-once q-gram inverted
+    file (build_qgram_index, the reference's QgramsLookup at
+    src/approxvoc.jl:25-44) — the persisted-index query shape, not the
+    inline per-batch vocab explode."""
+    from textsearch_spark.operators.approxvoc import approx_lookup, build_qgram_index
     from textsearch_spark.operators.vocab import build_vocab
 
     voc = build_vocab(_docs(spark, sf_dir), _cfg())
     qs = spark.createDataFrame(
         [(t,) for t in APPROX_QUERY_TOKENS], "qtoken string"
     )
-    return approx_lookup(voc, qs).select("qtoken", "match_token", F.round("dist", 4).alias("dist4"))
+    res = approx_lookup(voc, qs, qgram_index=build_qgram_index(voc))
+    return res.select("qtoken", "match_token", F.round("dist", 4).alias("dist4"))
 
 
 def q_centroid(spark, sf_dir):
@@ -688,11 +693,19 @@ def q_entropy_combiners(spark, sf_dir):
 def q_bm25_topk_typo(spark, sf_dir):
     """BM25 with QgramsLookup-as-token2id: misspelled query terms
     resolve to their nearest vocabulary token before scoring
-    (src/approxvoc.jl:46-57 wired into the query path)."""
+    (src/approxvoc.jl:46-57 wired into the query path), resolved
+    against the construct-once q-gram table (index.qgrams) — the
+    persisted-index shape."""
+    import dataclasses
+
+    from textsearch_spark.operators.approxvoc import build_qgram_index
     from textsearch_spark.operators.search import search_bm25
 
+    idx = _index(spark, sf_dir)
+    if idx.qgrams is None:
+        idx = dataclasses.replace(idx, qgrams=build_qgram_index(idx.vocab))
     qdf = spark.createDataFrame(TYPO_QUERY_SET, "query_id long, qtext string")
-    res = search_bm25(_index(spark, sf_dir), qdf, TOP_K, typo_tolerant=True)
+    res = search_bm25(idx, qdf, TOP_K, typo_tolerant=True)
     return res.select("query_id", "rank", "doc_id", F.round("score", 4).alias("score4"))
 
 

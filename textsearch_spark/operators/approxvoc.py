@@ -12,9 +12,20 @@ Expressed as a set-similarity join: explode both sides' q-gram sets,
 count shared grams per (query, token), Jaccard from set sizes. Ties
 break by (distance, token) for determinism (the reference's KnnResult(1)
 tie order is unspecified).
+
+The vocabulary-side q-gram inverted file is INDEX-TIME state, exactly
+like the reference building QgramsLookup once at construction
+(src/approxvoc.jl:25-44): ``build_qgram_index`` materializes the pruned
+(gram, vtoken, vsz) relation, ``sources.io.save_index`` persists it
+under ``qgrams/`` next to postings/blocks, and the typo-tolerant query
+path reads that table — the per-batch plan never re-explodes the whole
+vocabulary (r03 verdict item 4; the pre-r04 shape paid a full
+vocab-scan explode+groupBy tax on every typo-tolerant batch).
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,6 +43,31 @@ def _qgram_sets(tokens_df: DataFrame, key: str) -> DataFrame:
     return g.withColumnRenamed("token", "gram").distinct()
 
 
+def build_qgram_index(
+    vocab: DataFrame,
+    *,
+    doc_min_freq: int = 1,
+    doc_max_ratio: float = 0.4,
+) -> DataFrame:
+    """The construct-once vocabulary 3-gram inverted file
+    (src/approxvoc.jl:25-44): (gram, vtoken, vsz) with stop-grams
+    pruned (grams hitting more than ``doc_max_ratio`` of the vocabulary
+    or fewer than ``doc_min_freq`` tokens), ``vsz`` = the token's
+    surviving gram-set size. One vocab-wide pass; persist the result
+    with the index and reuse it for every typo-tolerant batch."""
+    vtok = vocab.select("token")
+    vgrams = _qgram_sets(vtok.withColumnRenamed("token", "vtoken").withColumn(
+        "token", F.col("vtoken")).select("vtoken", "token"), key="vtoken")
+    n_tokens = vtok.count()
+    gram_df = vgrams.groupBy("gram").agg(F.count("*").alias("gdf"))
+    keep = gram_df.filter(
+        (F.col("gdf") >= doc_min_freq) & (F.col("gdf") <= doc_max_ratio * n_tokens)
+    ).select("gram")
+    vgrams = vgrams.join(keep, "gram")
+    wsz = Window.partitionBy("vtoken")
+    return vgrams.withColumn("vsz", F.count("*").over(wsz)).select("gram", "vtoken", "vsz")
+
+
 def approx_lookup(
     vocab: DataFrame,
     query_tokens: DataFrame,
@@ -39,23 +75,24 @@ def approx_lookup(
     maxdist: float = 0.7,
     doc_min_freq: int = 1,
     doc_max_ratio: float = 0.4,
+    qgram_index: Optional[DataFrame] = None,
 ) -> DataFrame:
     """vocab (token, occs, ndocs) × query_tokens (qtoken) ->
     (qtoken, match_token, dist); exact hits resolve at distance 0,
     misses with best dist > maxdist are dropped (id 0 in the reference).
+
+    ``qgram_index``: a persisted ``build_qgram_index`` table. When
+    given, the per-batch plan joins against it directly (one scan of a
+    vocab-sized table, prunable by gram); when None, it is derived from
+    ``vocab`` inline — correct but a vocab-wide explode per call.
     """
     vtok = vocab.select("token")
-    vgrams = _qgram_sets(vtok.withColumnRenamed("token", "vtoken").withColumn(
-        "token", F.col("vtoken")).select("vtoken", "token"), key="vtoken")
-
-    # prune q-grams present in too many vocabulary tokens (stop-grams)
-    n_tokens = vtok.count()
-    gram_df = vgrams.groupBy("gram").agg(F.count("*").alias("gdf"))
-    keep = gram_df.filter(
-        (F.col("gdf") >= doc_min_freq) & (F.col("gdf") <= doc_max_ratio * n_tokens)
-    ).select("gram")
-    vgrams = vgrams.join(keep, "gram")
-    vsizes = vgrams.groupBy("vtoken").agg(F.count("*").alias("vsz"))
+    if qgram_index is None:
+        qgram_index = build_qgram_index(
+            vocab, doc_min_freq=doc_min_freq, doc_max_ratio=doc_max_ratio)
+    vgrams = qgram_index.select("gram", "vtoken")
+    vsizes = qgram_index.select("vtoken", "vsz").distinct()
+    keep = qgram_index.select("gram").distinct()
 
     qtok = query_tokens.select("qtoken").distinct()
     qgrams = _qgram_sets(qtok.withColumn("token", F.col("qtoken")).select("qtoken", "token"),

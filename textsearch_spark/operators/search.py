@@ -41,8 +41,11 @@ def query_tokens(index: BM25Index, queries: DataFrame, *, query_col: str = "qtex
     resolves to its nearest vocabulary token under character-3-gram
     Jaccard distance (exact hits at distance 0), terms whose best match
     exceeds ``maxdist`` drop. Cost shape: one bounded set-similarity
-    join over the distinct term set of the batch — the vocabulary q-gram
-    side is index-time state, independent of corpus size."""
+    join over the distinct term set of the batch against the PERSISTED
+    vocabulary q-gram table (``index.qgrams``, built once at save time
+    like the reference's construct-once QgramsLookup); only a
+    never-persisted index falls back to deriving it from the vocabulary
+    inline."""
     toks = (
         exploded_tokens(queries, index.cfg, doc_col=id_col, text_col=query_col)
         .select(id_col, "token")
@@ -56,6 +59,7 @@ def query_tokens(index: BM25Index, queries: DataFrame, *, query_col: str = "qtex
         index.vocab,
         toks.select(F.col("token").alias("qtoken")).distinct(),
         maxdist=maxdist,
+        qgram_index=index.qgrams,
     )
     return (
         toks.join(resolved, toks.token == resolved.qtoken)

@@ -52,6 +52,10 @@ class BM25Index:
     n_docs: int
     avgdl: float
     blocks: Optional[DataFrame] = None  # compressed block-max postings
+    # persisted typo-lookup q-gram inverted file (gram, vtoken, vsz) —
+    # built once per index lifetime (operators.approxvoc.build_qgram_index),
+    # saved under qgrams/; None falls back to an inline per-batch build
+    qgrams: Optional[DataFrame] = None
 
     @property
     def spark(self) -> SparkSession:

@@ -226,7 +226,12 @@ def finish_compaction(index_dir: str, *, destructive: bool = False) -> None:
     shutil.rmtree(tmp)
 
 
-def save_index(index: BM25Index, path: str, *, postings_partitions: int | None = None) -> None:
+def save_index(index: BM25Index, path: str, *, postings_partitions: int | None = None,
+               with_qgrams: bool = True) -> None:
+    """``with_qgrams``: also materialize the typo-lookup q-gram
+    inverted file (construct-once, like the reference's QgramsLookup at
+    src/approxvoc.jl:25-44) under ``qgrams/`` so typo-tolerant query
+    batches never re-derive it from the vocabulary."""
     os.makedirs(path, exist_ok=True)
     meta = {
         "textconfig": json.loads(index.cfg.to_json()),
@@ -239,6 +244,16 @@ def save_index(index: BM25Index, path: str, *, postings_partitions: int | None =
         json.dump(meta, f, indent=1, sort_keys=True)
 
     index.vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+    if with_qgrams:
+        from ..operators.approxvoc import build_qgram_index
+
+        q = index.qgrams if index.qgrams is not None else build_qgram_index(index.vocab)
+        # repartition+sort by gram: a typo batch's gram probes prune to
+        # few files via parquet min-max stats, like postings by token
+        (
+            q.repartition("gram").sortWithinPartitions("gram", "vtoken")
+            .write.mode("overwrite").parquet(os.path.join(path, "qgrams"))
+        )
     p = index.postings
     if postings_partitions:
         p = p.repartition(postings_partitions, "token").sortWithinPartitions("token", "doc_id")
@@ -281,6 +296,12 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
         from ..operators.postings import validate_blocks_schema
 
         validate_blocks_schema(blocks, where=f"blocks at {blocks_path}")
+    qgrams_p = os.path.join(path, "qgrams")
+    if os.path.isdir(qgrams_p):
+        spark.catalog.refreshByPath(qgrams_p)
+        qgrams = spark.read.parquet(qgrams_p)
+    else:
+        qgrams = None  # pre-r04 index: typo lookups fall back to inline build
     return BM25Index(
         cfg=cfg,
         params=params,
@@ -291,6 +312,7 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
         blocks=blocks,
+        qgrams=qgrams,
     )
 
 
