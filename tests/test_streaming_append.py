@@ -407,3 +407,62 @@ def test_maintenance_lock_reentrant(spark, golden_corpus_df, tmp_path):
         assert "compaction" in m  # auto-compaction ran nested
     idx = load_index(spark, path)
     assert idx.doclens.count() == 8
+
+
+def test_manifest_fold_hwm_and_fragmentation(spark, golden_corpus_df, tmp_path):
+    """high_water_mark and fragmentation decisions fold manifests, not
+    tables (r03 verdict item 5): they must answer correctly even with
+    the doclens/blocks dirs physically hidden — proof no scan runs."""
+    import json as _json
+    import os
+
+    from textsearch_spark.plans.maintenance import (
+        compact_index, fragmentation, fragmentation_estimate,
+    )
+
+    path = str(tmp_path / "idx")
+    _base_index(spark, golden_corpus_df, path)
+
+    # fresh index: estimate exists, zero fragmentation, hwm from meta
+    est = fragmentation_estimate(path)
+    assert est is not None and est["fragment_extra_rows_max"] == 0
+    os.rename(os.path.join(path, "doclens"), os.path.join(path, "doclens__hidden"))
+    try:
+        assert high_water_mark(spark, path) == 7  # would crash if it scanned
+    finally:
+        os.rename(os.path.join(path, "doclens__hidden"), os.path.join(path, "doclens"))
+
+    for i, t in enumerate(["la manzana verde", "la hoja roja"]):
+        new = spark.createDataFrame([(8 + i, t)], "doc_id long, text string")
+        m = append_batch_to_index(spark, path, new, doc_col="doc_id",
+                                  batch_id=i, auto_compact_after=None)
+        assert m["last_doc"] == 8 + i
+        assert m["n_block_rows"] > 0
+
+    os.rename(os.path.join(path, "doclens"), os.path.join(path, "doclens__hidden"))
+    try:
+        assert high_water_mark(spark, path) == 9  # meta + manifest fold
+    finally:
+        os.rename(os.path.join(path, "doclens__hidden"), os.path.join(path, "doclens"))
+
+    est = fragmentation_estimate(path)
+    exact = fragmentation(spark, path)
+    assert est["n_appends"] == 2
+    assert est["fragment_extra_rows_max"] >= exact["fragment_extra_rows"]
+    assert est["fragment_extra_rows_max"] > 0
+
+    # compaction folds the appends and updates meta atomically: the
+    # estimate returns to 0 and hwm still answers scan-free
+    compact_index(spark, path)
+    est = fragmentation_estimate(path)
+    assert est["n_appends"] == 0
+    assert est["fragment_extra_rows_max"] == 0
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = _json.load(f)
+    assert meta["last_doc"] == 9
+    assert meta["n_block_rows"] == meta["n_block_groups"]
+
+    # auto-ids take over above the folded high-water mark
+    new = spark.createDataFrame([("la pera",)], "text string")
+    m = append_batch_to_index(spark, path, new, auto_compact_after=None)
+    assert m["first_doc"] == 10 and m["last_doc"] == 10

@@ -98,11 +98,15 @@ def append_manifest_path(index_dir: str, batch_id) -> str:
     return os.path.join(index_dir, "_manifests", f"append_{batch_id}.json")
 
 
-def committed_append_ids(index_dir: str) -> list[str]:
-    """Batch ids of fully-committed appends, in name order. An append
-    is committed iff its manifest exists (the manifest rename is the
-    atomic commit point — staged table dirs without one are crashed
-    attempts and are ignored by every reader)."""
+def committed_append_manifests(index_dir: str) -> list[tuple[str, dict]]:
+    """(batch_id, manifest) of fully-committed appends, in name order.
+    An append is committed iff its manifest exists (the manifest rename
+    is the atomic commit point — staged table dirs without one are
+    crashed attempts and are ignored by every reader). The manifests
+    double as the index's METADATA LOG: they carry ``last_doc`` and
+    ``n_block_rows``, so high-water-mark and fragmentation questions
+    fold over a handful of tiny JSON files instead of scanning
+    10^12-row tables (r03 verdict item 5)."""
     import glob
 
     mdir = os.path.join(index_dir, "_manifests")
@@ -110,9 +114,15 @@ def committed_append_ids(index_dir: str) -> list[str]:
     for p in sorted(glob.glob(os.path.join(mdir, "append_*.json"))):
         name = os.path.basename(p)[len("append_"):-len(".json")]
         with open(p) as f:
-            if json.load(f).get("complete"):
-                out.append(name)
+            doc = json.load(f)
+        if doc.get("complete"):
+            out.append((name, doc))
     return out
+
+
+def committed_append_ids(index_dir: str) -> list[str]:
+    """Batch ids of fully-committed appends, in name order."""
+    return [bid for bid, _ in committed_append_manifests(index_dir)]
 
 
 def append_batch_dir(index_dir: str, batch_id) -> str:
@@ -203,6 +213,20 @@ def finish_compaction(index_dir: str, *, destructive: bool = False) -> None:
             os.rename(staged, base)
         if os.path.isdir(old):
             shutil.rmtree(old)
+    # fold the compaction's base-metadata update (new last_doc / block
+    # counts) into meta.json BEFORE the append manifests are deleted:
+    # the update already accounts for the consumed appends, so at any
+    # crash point max(meta.last_doc, manifests' last_doc) stays correct
+    mu = commit.get("meta_update")
+    if mu:
+        meta_p = os.path.join(index_dir, META)
+        with open(meta_p) as f:
+            meta = json.load(f)
+        meta.update(mu)
+        mtmp = meta_p + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(mtmp, meta_p)
     for bid in commit.get("appends", []):
         d = append_batch_dir(index_dir, bid)
         if os.path.isdir(d):
@@ -240,6 +264,18 @@ def save_index(index: BM25Index, path: str, *, postings_partitions: int | None =
         "n_docs": index.n_docs,
         "avgdl": index.avgdl,
     }
+    # base-table metadata, folded with the append manifests at query
+    # time so high_water_mark / fragmentation never scan the tables
+    # (r03 verdict item 5): one agg each at save time, O(1) thereafter
+    row = index.doclens.agg(F.max("doc_id")).collect()[0]
+    meta["last_doc"] = int(row[0] or 0)
+    if index.blocks is not None:
+        brow = index.blocks.agg(
+            F.count("*").alias("rows"),
+            F.count_distinct("token", "block_id").alias("groups"),
+        ).collect()[0]
+        meta["n_block_rows"] = int(brow.rows)
+        meta["n_block_groups"] = int(brow.groups)
     with open(os.path.join(path, META), "w") as f:
         json.dump(meta, f, indent=1, sort_keys=True)
 

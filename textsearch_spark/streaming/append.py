@@ -56,9 +56,11 @@ from ..functions.udfs import bow_long
 from ..operators.postings import build_posting_blocks
 from ..plans.build import POSTING_COLS
 from ..sources.io import (
+    META,
     append_batch_dir,
     append_manifest_path,
     committed_append_ids,
+    committed_append_manifests,
     load_index,
     maintenance_lock,
     read_table,
@@ -66,8 +68,24 @@ from ..sources.io import (
 
 
 def high_water_mark(spark: SparkSession, index_dir: str) -> int:
-    """Largest doc_id currently in the index (base doclens UNION every
-    committed append's doclens)."""
+    """Largest doc_id currently in the index.
+
+    Manifest fold, no table scan (r03 verdict item 5): the base meta
+    records ``last_doc`` at save/compaction time and every append
+    manifest records its batch's ``last_doc``, so this is a max over a
+    handful of tiny JSONs — the pre-r04 shape ran ``max(doc_id)`` over
+    the full logical doclens table once per micro-batch, a 10^12-row
+    scan for one number the metadata already implied. Falls back to
+    the scan only for indexes/manifests written before the fields
+    existed."""
+    base_last = None
+    meta_p = os.path.join(index_dir, META)
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            base_last = json.load(f).get("last_doc")
+    mans = committed_append_manifests(index_dir)
+    if base_last is not None and all("last_doc" in m["metrics"] for _, m in mans):
+        return max([int(base_last)] + [int(m["metrics"]["last_doc"]) for _, m in mans])
     row = read_table(spark, index_dir, "doclens").agg(F.max("doc_id")).collect()[0]
     return int(row[0] or 0)
 
@@ -162,10 +180,12 @@ def _append_locked(
         docs = new_docs.withColumnRenamed(doc_col, "doc_id") if doc_col != "doc_id" else new_docs
         agg = docs.agg(
             F.min("doc_id").alias("low"),
+            F.max("doc_id").alias("high"),
             F.count("*").alias("n"),
             F.countDistinct("doc_id").alias("nd"),
         ).collect()[0]
         low = agg.low
+        high = agg.high
         if low is not None and low <= hwm:
             raise ValueError(f"appended doc_id {low} <= high-water mark {hwm}")
         if agg.n != agg.nd:
@@ -204,9 +224,17 @@ def _append_locked(
     doclens.write.parquet(os.path.join(batch_dir, "doclens"))
     postings.unpersist()
 
+    # manifest-carried metadata (r03 verdict item 5): last_doc feeds
+    # high_water_mark's manifest fold; n_block_rows feeds the
+    # fragmentation estimate. The blocks count reads only the staged
+    # parquet footers (row-count metadata), no data decode.
+    n_block_rows = spark.read.parquet(os.path.join(batch_dir, "blocks")).count()
     metrics = {
         "n_docs_appended": n_new,
         "first_doc": hwm + 1 if doc_col is None else int(low),
+        "last_doc": hwm + n_new if doc_col is None else (
+            int(high) if high is not None else hwm),
+        "n_block_rows": int(n_block_rows),
         "append_sec": round(time.time() - t0, 3),
         "span": span,
         "batch_id": str(batch_id),
