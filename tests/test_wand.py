@@ -156,6 +156,34 @@ def test_wand_chunked_differential(spark, zipf_index):
     assert len(chunked) == len(whole) > 0
 
 
+def test_wand_chunked_incremental_write(spark, zipf_index, tmp_path):
+    """output_path= switches the chunk loop to incremental parquet
+    appends (r03 verdict item 7): results identical to the union path,
+    and the returned plan is a flat table scan whose size does NOT grow
+    with chunk count — driver planning stays O(1) at 10^8 queries."""
+    from textsearch_spark.operators.wand import search_bm25_wand_chunked
+
+    corpus, idx = zipf_index
+    qdf = _zipf_queries(spark, corpus, 50, seed=13)
+    whole = search_bm25_wand(idx, qdf, k=5).collect()
+
+    out_few = str(tmp_path / "few")
+    res_few = search_bm25_wand_chunked(idx, qdf, k=5, chunk_size=30,
+                                       output_path=out_few)
+    _assert_rank_identical(whole, res_few.collect())
+
+    out_many = str(tmp_path / "many")
+    res_many = search_bm25_wand_chunked(idx, qdf, k=5, chunk_size=7,
+                                        output_path=out_many)
+    _assert_rank_identical(whole, res_many.collect())
+
+    plan_few = res_few._jdf.queryExecution().optimizedPlan().toString()
+    plan_many = res_many._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_few.count("\n") == plan_many.count("\n"), (
+        "incremental-write plan size must be flat in chunk count")
+    assert "Union" not in plan_many
+
+
 def test_wand_accept_veto_differential(spark, zipf_index):
     """The accept_posting_list veto (list-length bounds) must agree
     between the naive scorer and WAND — both skip the same lists."""

@@ -381,6 +381,7 @@ def search_bm25_wand_chunked(
     *,
     chunk_size: int = 8192,
     id_col: str = "query_id",
+    output_path: Optional[str] = None,
     **kwargs,
 ) -> DataFrame:
     """WAND search for query batches too large for one driver collect.
@@ -392,24 +393,52 @@ def search_bm25_wand_chunked(
     ``ceil(n/chunk_size)`` deterministic hash chunks
     (xxhash64(query_id) mod n_chunks — uniform regardless of the id
     distribution), runs each chunk through the normal path (its own
-    bounded collect + broadcast), and unions the per-chunk results.
-    Queries are independent, so the union is differential-identical to
-    the unchunked call (tests/test_wand.py).
+    bounded collect + broadcast). Queries are independent, so the
+    combined result is differential-identical to the unchunked call
+    (tests/test_wand.py).
 
-    Each chunk's broadcast stays alive until the unioned plan executes;
-    at ~48 bytes/term-entry a 10^6-query batch holds ~tens of MB of
-    broadcast total — driver-safe. Results per query are unchanged by
-    chunk count."""
-    n = queries.select(id_col).distinct().count()
-    n_chunks = max(1, -(-n // chunk_size))
-    if n_chunks == 1:
-        return search_bm25_wand(index, queries, k, id_col=id_col, **kwargs)
-    parts = []
-    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
-    for i in range(n_chunks):
-        sub = queries.filter(bucket == i)
-        parts.append(search_bm25_wand(index, sub, k, id_col=id_col, **kwargs))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    The queries frame is pinned (localCheckpoint / cache) BEFORE
+    counting and chunking: the chunk loop re-evaluates it once per
+    chunk, and a non-deterministic input (sample(), unordered limit(),
+    rand-derived ids) would otherwise drop or duplicate queries across
+    re-evaluations (r03 ADVICE item 3).
+
+    ``output_path=None`` returns one union plan over all chunks —
+    fine to ~10^2 chunks (10^6 queries), after which Catalyst planning
+    cost grows with chunk count. ``output_path=`` a directory switches
+    to INCREMENTAL writes (r03 verdict item 7): each chunk's result is
+    appended to the parquet table as soon as it is computed — each
+    chunk's broadcast is released after its write, and the returned
+    frame is a plain scan of the output table, so driver planning
+    stays O(1) in chunk count. That is the 10^8-query shape."""
+    spark = index.spark
+    if output_path is None:
+        # pin chunk membership across the per-chunk re-evaluations
+        queries = queries.localCheckpoint(eager=True)
+        n = queries.select(id_col).distinct().count()
+        n_chunks = max(1, -(-n // chunk_size))
+        if n_chunks == 1:
+            return search_bm25_wand(index, queries, k, id_col=id_col, **kwargs)
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+        parts = []
+        for i in range(n_chunks):
+            sub = queries.filter(bucket == i)
+            parts.append(search_bm25_wand(index, sub, k, id_col=id_col, **kwargs))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    queries = queries.persist()
+    try:
+        n = queries.select(id_col).distinct().count()
+        n_chunks = max(1, -(-n // chunk_size))
+        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+        for i in range(n_chunks):
+            sub = queries.filter(bucket == i) if n_chunks > 1 else queries
+            res = search_bm25_wand(index, sub, k, id_col=id_col, **kwargs)
+            res.write.mode("append").parquet(output_path)
+    finally:
+        queries.unpersist()
+    spark.catalog.refreshByPath(output_path)
+    return spark.read.parquet(output_path)
