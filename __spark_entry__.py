@@ -822,6 +822,47 @@ def q_bm25_topk_appended(spark, sf_dir):
 DRIVER_WINDOW = 50
 
 
+def q_bm25_topk_txnlog(spark, sf_dir):
+    """The object-store-safe transaction-log backend end-to-end
+    (sources/txnlog.py): save in the log layout, append two batches as
+    log transactions (the second triggers log-transaction compaction),
+    vacuum the superseded dirs, then WAND top-k. Same closed-form
+    frozen-stat oracle as bm25_topk_appended — the backend must not
+    change any score."""
+    import shutil
+    import tempfile
+
+    from textsearch_spark.operators.postings import build_posting_blocks
+    from textsearch_spark.operators.wand import search_bm25_wand
+    from textsearch_spark.plans.build import build_bm25_index
+    from textsearch_spark.sources import txnlog as tx
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    q3 = (mid * 3) // 2
+    base = docs.filter(F.col("doc_id") <= mid)
+    path = tempfile.mkdtemp(prefix="ts_txnlog_oracle_")
+    try:
+        idx = build_bm25_index(base, _cfg())
+        idx.blocks = build_posting_blocks(idx.postings, span=256)
+        tx.save_index_txn(idx, path)
+        tx.append_batch_txn(
+            spark, path, docs.filter((F.col("doc_id") > mid) & (F.col("doc_id") <= q3)),
+            doc_col="doc_id", batch_id=0, auto_compact_after=2)
+        m = tx.append_batch_txn(
+            spark, path, docs.filter(F.col("doc_id") > q3),
+            doc_col="doc_id", batch_id=1, auto_compact_after=2)
+        assert m.get("compaction"), "second append must trigger log-txn compaction"
+        tx.vacuum_txn(path)
+        idx2 = tx.load_index_txn(spark, path)
+        res = search_bm25_wand(idx2, _query_df(spark), TOP_K).select(
+            "query_id", "rank", "doc_id", F.round("score", 4).alias("score4")
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_unigrams": q_vocab,
@@ -877,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the driver window: oracle entries below are checked
         # by tests/test_oracle_overflow.py (redundant variants only)
         "freq_binary_vectorize": q_freq_binary,
+        "bm25_topk_txnlog": q_bm25_topk_txnlog,
         # ---- rows-only entries (no SQL oracle) stay last
         "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,
     }
@@ -1099,6 +1141,8 @@ SELECT p.doc_id, p.pos::BIGINT AS pos, i.term_id FROM pos p JOIN ids i USING (to
     # the batched+compacted append == the single-shot append SQL
     sqls["bm25_topk_wand_chunked"] = sqls["bm25_topk_wand"]
     sqls["bm25_topk_compacted"] = sqls["bm25_topk_appended"]
+    # the txnlog backend must serve the identical frozen-stat scores
+    sqls["bm25_topk_txnlog"] = sqls["bm25_topk_appended"]
     return sqls
 
 

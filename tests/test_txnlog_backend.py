@@ -1,0 +1,195 @@
+"""Transaction-log backend lifecycle (r03 verdict item 3): the same
+save / load / append / compact semantics as the rename-protocol
+backend, on a layout whose only storage primitive is atomic
+create-if-absent — the object-store (conditional PUT) commit model.
+Mirrors the rename backend's lifecycle tests in
+tests/test_streaming_append.py."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from textsearch_spark.config import TextConfig
+from textsearch_spark.operators.postings import build_posting_blocks
+from textsearch_spark.operators.search import search_bm25, search_bm25_text
+from textsearch_spark.operators.wand import search_bm25_wand
+from textsearch_spark.plans.build import build_bm25_index
+from textsearch_spark.sources import txnlog as tx
+
+CFG = TextConfig(nlist=[1])
+
+
+def _base(spark, golden_corpus_df, path):
+    idx = build_bm25_index(golden_corpus_df, CFG)
+    idx.blocks = build_posting_blocks(idx.postings, span=4)
+    tx.save_index_txn(idx, path)
+    return tx.load_index_txn(spark, path)
+
+
+def test_publish_is_create_if_absent(tmp_path):
+    p = str(tmp_path / "e.json")
+    assert tx._publish(p, {"a": 1}) is True
+    assert tx._publish(p, {"a": 2}) is False  # loser must not clobber
+    with open(p) as f:
+        assert json.load(f)["a"] == 1
+
+
+def test_txn_frozen_append_semantics_and_parity(spark, golden_corpus_df, tmp_path):
+    """Same frozen-vocab semantics as the rename backend: OOV drops,
+    in-vocab doclen, frozen stats; naive/WAND parity over the appended
+    (multi-dir) snapshot."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    assert tx.high_water_mark_txn(path) == 7
+
+    new = spark.createDataFrame(
+        [(8, "la manzana verde abcnew"), (9, "la hoja roja rica")],
+        "doc_id long, text string")
+    m = tx.append_batch_txn(spark, path, new, doc_col="doc_id",
+                            auto_compact_after=None)
+    assert m["n_docs_appended"] == 2 and m["last_doc"] == 9
+    assert tx.high_water_mark_txn(path) == 9
+
+    idx = tx.load_index_txn(spark, path)
+    dl = {r.doc_id: r.doclen for r in idx.doclens.collect()}
+    assert dl[8] == 3  # abcnew is OOV: la, manzana, verde
+    assert idx.n_docs == 7  # N frozen at fit
+
+    q = spark.createDataFrame(
+        [(0, "la manzana verde rica"), (1, "hoja roja")],
+        "query_id long, qtext string")
+    naive = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 10))
+                   for r in search_bm25(idx, q, 5).collect())
+    wand = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 10))
+                  for r in search_bm25_wand(idx, q, 5, n_buckets=2).collect())
+    assert naive == wand
+    assert any(d in (8, 9) for (_, _, d, _) in naive)
+
+
+def test_txn_matches_rename_backend_results(spark, golden_corpus_df, tmp_path):
+    """Both backends over the identical corpus + appends must serve
+    identical search results."""
+    from textsearch_spark.sources.io import load_index, save_index
+    from textsearch_spark.streaming.append import append_batch_to_index
+
+    rename_p, txn_p = str(tmp_path / "rn"), str(tmp_path / "tx")
+    idx = build_bm25_index(golden_corpus_df, CFG)
+    idx.blocks = build_posting_blocks(idx.postings, span=4)
+    save_index(idx, rename_p)
+    tx.save_index_txn(idx, txn_p)
+    new = spark.createDataFrame(
+        [(8, "la manzana verde"), (9, "la hoja roja")], "doc_id long, text string")
+    append_batch_to_index(spark, rename_p, new, doc_col="doc_id",
+                          auto_compact_after=None)
+    tx.append_batch_txn(spark, txn_p, new, doc_col="doc_id",
+                        auto_compact_after=None)
+
+    q = spark.createDataFrame([(0, "la manzana roja")], "query_id long, qtext string")
+    a = sorted((r.rank, r.doc_id, round(r.score, 10))
+               for r in search_bm25_wand(load_index(spark, rename_p), q, 8,
+                                         n_buckets=2).collect())
+    b = sorted((r.rank, r.doc_id, round(r.score, 10))
+               for r in search_bm25_wand(tx.load_index_txn(spark, txn_p), q, 8,
+                                         n_buckets=2).collect())
+    assert a == b and a
+
+
+def test_txn_crash_invisible_and_idempotent_retry(spark, golden_corpus_df, tmp_path):
+    """Data dirs without a committed log entry are invisible to readers
+    and reclaimed by vacuum; a replayed batch_id commits exactly once."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+
+    # simulated crash: staged-but-never-committed data dir
+    ghost = os.path.join(path, tx.DATA_DIR, "postings", "append-ghost-deadbeef")
+    os.makedirs(ghost)
+    idx = tx.load_index_txn(spark, path)
+    assert idx.doclens.count() == 7  # unreachable garbage ignored
+    assert any("append-ghost" in d for d in tx.vacuum_txn(path))
+    assert not os.path.isdir(ghost)
+
+    new = spark.createDataFrame([(8, "la casa")], "doc_id long, text string")
+    tx.append_batch_txn(spark, path, new, doc_col="doc_id", batch_id=0,
+                        auto_compact_after=None)
+    tx.append_batch_txn(spark, path, new, doc_col="doc_id", batch_id=0,
+                        auto_compact_after=None)  # replayed epoch
+    idx = tx.load_index_txn(spark, path)
+    assert idx.doclens.filter("doc_id = 8").count() == 1
+    assert len([e for e in tx.read_log(path) if e["op"] == "append"]) == 1
+
+
+def test_txn_rejects_stale_and_duplicate_ids(spark, golden_corpus_df, tmp_path):
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    stale = spark.createDataFrame([(3, "la casa")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="high-water"):
+        tx.append_batch_txn(spark, path, stale, doc_col="doc_id")
+    dup = spark.createDataFrame([(8, "a"), (8, "b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="duplicate"):
+        tx.append_batch_txn(spark, path, dup, doc_col="doc_id")
+
+
+def test_txn_compaction_is_log_transaction_with_snapshot_isolation(
+        spark, golden_corpus_df, tmp_path):
+    """Compaction adds the merged blocks dir and removes the fragments
+    in one entry; a reader holding the PRE-compaction snapshot keeps
+    serving identical results (no swap ever happens under it), and
+    vacuum then reclaims exactly the superseded dirs."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    for i, t in enumerate(["la manzana verde", "la hoja roja"]):
+        new = spark.createDataFrame([(8 + i, t)], "doc_id long, text string")
+        tx.append_batch_txn(spark, path, new, doc_col="doc_id", batch_id=i,
+                            auto_compact_after=None)
+
+    est = tx.fragmentation_estimate_txn(path)
+    assert est["n_appends"] == 2 and est["fragment_extra_rows_max"] > 0
+
+    old_idx = tx.load_index_txn(spark, path)  # snapshot N
+    q = spark.createDataFrame([(0, "la manzana verde")], "query_id long, qtext string")
+    before = sorted((r.rank, r.doc_id, round(r.score, 10))
+                    for r in search_bm25_wand(old_idx, q, 8, n_buckets=2).collect())
+
+    m = tx.compact_index_txn(spark, path)
+    assert m["appends_folded"] == 2
+    est = tx.fragmentation_estimate_txn(path)
+    assert est["fragment_extra_rows_max"] == 0 and est["n_appends"] == 0
+    assert tx.high_water_mark_txn(path) == 9
+
+    # snapshot isolation: the pre-compaction reader still works and
+    # agrees (its dirs are still on disk until vacuum)
+    still = sorted((r.rank, r.doc_id, round(r.score, 10))
+                   for r in search_bm25_wand(old_idx, q, 8, n_buckets=2).collect())
+    assert still == before
+
+    new_idx = tx.load_index_txn(spark, path)
+    after = sorted((r.rank, r.doc_id, round(r.score, 10))
+                   for r in search_bm25_wand(new_idx, q, 8, n_buckets=2).collect())
+    assert after == before
+    # exactly one live blocks dir post-compaction; vacuum reclaims the
+    # three superseded ones (init + 2 appends) and nothing else
+    snap = tx.snapshot(path)
+    assert len(snap["blocks"]) == 1
+    deleted = tx.vacuum_txn(path)
+    assert len([d for d in deleted if d.startswith("data/blocks/")]) == 3
+    assert sorted((r.rank, r.doc_id, round(r.score, 10))
+                  for r in search_bm25_wand(tx.load_index_txn(spark, path), q, 8,
+                                            n_buckets=2).collect()) == before
+    # a second compaction is a metadata no-op
+    assert tx.compact_index_txn(spark, path).get("skipped") is True
+
+
+def test_txn_auto_compaction_and_text_search(spark, golden_corpus_df, tmp_path):
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    for i in range(3):
+        new = spark.createDataFrame([(8 + i, "la pera rica")], "doc_id long, text string")
+        m = tx.append_batch_txn(spark, path, new, doc_col="doc_id", batch_id=i,
+                                auto_compact_after=2)
+    assert any("compaction" in json.dumps(e) or e["op"] == "compact"
+               for e in tx.read_log(path))
+    idx = tx.load_index_txn(spark, path)
+    res = search_bm25_text(idx, "pera rica", k=10).collect()
+    assert {r.doc_id for r in res} >= {5, 8, 9, 10}

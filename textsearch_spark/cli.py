@@ -38,10 +38,18 @@ def main(argv=None):
     a.add_argument("--doc-col", default=None,
                    help="pre-assigned id column (must exceed the high-water mark); "
                         "default auto-assigns")
+    a.add_argument("--backend", choices=["rename", "txnlog"], default="rename",
+                   help="rename = POSIX atomic-rename protocol (local/NFS); "
+                        "txnlog = transaction-log layout whose only primitive "
+                        "is create-if-absent (object stores)")
 
     c = sub.add_parser("compact", help="fold committed appends into the base "
                                        "tables (plans/maintenance.compact_index)")
     c.add_argument("--index", required=True)
+    c.add_argument("--backend", choices=["rename", "txnlog"], default="rename")
+    c.add_argument("--vacuum", action="store_true",
+                   help="(txnlog) also delete data dirs superseded by the "
+                        "compaction — only safe with no readers on older snapshots")
 
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
@@ -49,6 +57,7 @@ def main(argv=None):
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--engine", choices=["wand", "naive"], default="wand")
     s.add_argument("--output", required=True)
+    s.add_argument("--backend", choices=["rename", "txnlog"], default="rename")
 
     args = ap.parse_args(argv)
 
@@ -73,27 +82,44 @@ def main(argv=None):
         )
         print(f"index at {args.index}: n_docs={idx.n_docs} avgdl={idx.avgdl:.3f}")
     elif args.cmd == "append":
-        from .streaming.append import append_batch_to_index
-
         df = spark.read.parquet(args.input)
-        m = append_batch_to_index(spark, args.index, df,
-                                  doc_col=args.doc_col, text_col=args.text_col)
+        if args.backend == "txnlog":
+            from .sources.txnlog import append_batch_txn as do_append
+        else:
+            from .streaming.append import append_batch_to_index as do_append
+        m = do_append(spark, args.index, df,
+                      doc_col=args.doc_col, text_col=args.text_col)
         print(f"appended {m['n_docs_appended']} docs from id {m['first_doc']} "
               f"in {m['append_sec']}s")
     elif args.cmd == "compact":
-        from .plans.maintenance import compact_index
+        if args.backend == "txnlog":
+            from .sources.txnlog import compact_index_txn, vacuum_txn
 
-        m = compact_index(spark, args.index)
-        if m.get("skipped"):
-            print("nothing to compact")
+            m = compact_index_txn(spark, args.index)
+            if m.get("skipped"):
+                print("nothing to compact")
+            else:
+                print(f"folded {m['appends_folded']} appends in {m['compact_sec']}s")
+            if args.vacuum:
+                print(f"vacuumed {len(vacuum_txn(args.index))} superseded data dirs")
         else:
-            print(f"folded {m['appends_folded']} appends; fragmented block rows "
-                  f"{m['fragment_extra_rows_before']} -> {m['fragment_extra_rows_after']} "
-                  f"in {m['compact_sec']}s")
+            from .plans.maintenance import compact_index
+
+            m = compact_index(spark, args.index)
+            if m.get("skipped"):
+                print("nothing to compact")
+            else:
+                print(f"folded {m['appends_folded']} appends; fragmented block rows "
+                      f"{m['fragment_extra_rows_before']} -> {m['fragment_extra_rows_after']} "
+                      f"in {m['compact_sec']}s")
     else:
         from .operators.search import search_bm25
         from .operators.wand import search_bm25_wand
-        from .sources.io import load_index
+
+        if args.backend == "txnlog":
+            from .sources.txnlog import load_index_txn as load_index
+        else:
+            from .sources.io import load_index
 
         idx = load_index(spark, args.index)
         queries = spark.read.parquet(args.queries)

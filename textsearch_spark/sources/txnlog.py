@@ -1,0 +1,415 @@
+"""Object-store-safe index backend: an ordered transaction log over
+immutable data directories (r03 verdict item 3).
+
+The default backend (sources/io.py + streaming/append.py) commits by
+ATOMIC RENAME — correct on local POSIX filesystems, nonexistent on
+S3/GCS where rename is copy+delete. This module provides the same
+index lifecycle (save / load / append / compact / search parity) on a
+layout whose ONLY required storage primitive is **atomic
+create-if-absent** — which object stores provide natively (S3
+``If-None-Match: *`` conditional PUT, GCS ``ifGenerationMatch=0``) and
+which this local implementation emulates with ``os.link`` (hard-link
+publish: fails if the target exists, and the published file appears
+fully written or not at all). This is the same commit model as
+Delta Lake's ``_delta_log`` / Iceberg's optimistic snapshot commit;
+swapping the real table formats in means replacing ~100 lines of this
+module with ``writeTo(...).using("iceberg")`` calls — the table
+shapes, job structure, and semantics carry over unchanged.
+
+Layout under ``<index>/``::
+
+    meta.json                     — TextConfig, folded constants, N, avgdl
+    vocab/ qgrams/                — immutable, written once at save
+    _txnlog/00000000000001.json   — ordered commit entries
+    data/<table>/<unique-dir>/    — immutable parquet data directories
+
+A commit entry records, per table, data dirs ADDED and REMOVED, plus
+metadata (``last_doc``, block-row counts) so high-water-mark and
+fragmentation questions fold over the log — never a table scan::
+
+    {"op": "init|append|compact", "batch_id": ...,
+     "add": {"postings": ["data/postings/append-0-..."], ...},
+     "remove": {"blocks": [...]},
+     "metrics": {"last_doc": 9, "n_block_rows": 7, ...}}
+
+Correctness properties (all tested in tests/test_txnlog_backend.py):
+
+- **Readers are snapshot-isolated and lock-free**: a reader folds the
+  log entries present at read time; data dirs are immutable and
+  removals only ever hide dirs from NEWER snapshots, so a query
+  planned against snapshot N is unaffected by concurrent appends or
+  compactions. (The rename backend needs a maintenance lock to keep
+  readers away from a mid-swap state; here there is no swap.)
+- **Any crash point is invisible**: data dirs staged under ``data/``
+  without a committed log entry are unreachable garbage, reclaimed by
+  ``vacuum``; the log entry itself appears atomically.
+- **Writers serialize optimistically through the log**: the next
+  sequence number is claimed by create-if-absent; a loser re-reads the
+  log and retries (appends additionally dedupe on ``batch_id``, so a
+  replayed streaming epoch commits exactly once).
+- **Compaction is a pure log transaction**: the merged blocks dir is
+  added and the fragmented block dirs are removed in ONE entry —
+  postings/doclens dirs are untouched (no file moves at all; the
+  rename backend had to physically relocate append part-files).
+  Superseded dirs stay on disk for older readers until ``vacuum``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BM25Params, FoldedBM25, TextConfig
+from ..plans.build import BM25Index
+
+LOG_DIR = "_txnlog"
+DATA_DIR = "data"
+META = "meta.json"
+_TABLES = ("postings", "doclens", "blocks")
+
+
+# --------------------------------------------------------------- log I/O
+
+def _log_path(index_dir: str, seq: int) -> str:
+    return os.path.join(index_dir, LOG_DIR, f"{seq:020d}.json")
+
+
+def _publish(path: str, doc: dict) -> bool:
+    """Atomically publish ``doc`` at ``path`` iff nothing is there —
+    the create-if-absent commit primitive. Local emulation: write a
+    private temp file, then ``os.link`` it into place (link fails with
+    EEXIST if another writer won; the linked file is complete by
+    construction). On an object store this maps to one conditional PUT
+    of the JSON body."""
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, path)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def read_log(index_dir: str) -> list[dict]:
+    """Committed entries in sequence order. Tolerates a sparse listing
+    re-check: entries are dense by construction (seq N+1 is only ever
+    claimed after N exists)."""
+    import glob
+
+    out = []
+    for p in sorted(glob.glob(os.path.join(index_dir, LOG_DIR, "*.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def _commit(index_dir: str, doc: dict, *, max_retries: int = 64) -> int:
+    """Append ``doc`` as the next log entry (optimistic): claim
+    len(log)+1, on collision re-read and retry. Returns the committed
+    sequence number."""
+    os.makedirs(os.path.join(index_dir, LOG_DIR), exist_ok=True)
+    for _ in range(max_retries):
+        seq = len(read_log(index_dir)) + 1
+        doc["seq"] = seq
+        doc["committed_at"] = time.time()
+        if _publish(_log_path(index_dir, seq), doc):
+            return seq
+    raise RuntimeError(
+        f"could not commit to {index_dir}/{LOG_DIR} after {max_retries} "
+        "attempts — pathological writer contention"
+    )
+
+
+def snapshot(index_dir: str, log: Optional[list] = None) -> dict[str, list[str]]:
+    """Fold the log: {table: [live data dirs, in add order]}."""
+    live: dict[str, list[str]] = {t: [] for t in _TABLES}
+    for e in log if log is not None else read_log(index_dir):
+        for t, dirs in e.get("add", {}).items():
+            live.setdefault(t, []).extend(dirs)
+        for t, dirs in e.get("remove", {}).items():
+            live[t] = [d for d in live.get(t, []) if d not in set(dirs)]
+    return live
+
+
+def _new_data_dir(index_dir: str, table: str, tag: str) -> tuple[str, str]:
+    """(relative, absolute) path of a fresh immutable data dir."""
+    rel = os.path.join(DATA_DIR, table, f"{tag}-{uuid.uuid4().hex[:12]}")
+    return rel, os.path.join(index_dir, rel)
+
+
+# ------------------------------------------------------------ save / load
+
+def save_index_txn(index: BM25Index, path: str, *,
+                   postings_partitions: Optional[int] = None,
+                   with_qgrams: bool = True) -> None:
+    """Persist a BM25Index in the transaction-log layout. meta.json /
+    vocab / qgrams are written once and never mutated; the three
+    lifecycle tables land under ``data/`` and entry 1 publishes them."""
+    assert index.blocks is not None, "txnlog backend expects a block index"
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "backend": "txnlog",
+        "textconfig": json.loads(index.cfg.to_json()),
+        "bm25": json.loads(index.bm25.to_json()),
+        "params": {"k1": index.params.k1, "b": index.params.b,
+                   "delta": index.params.delta},
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+    }
+    with open(os.path.join(path, META), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    index.vocab.write.mode("overwrite").parquet(os.path.join(path, "vocab"))
+    if with_qgrams:
+        from ..operators.approxvoc import build_qgram_index
+
+        q = index.qgrams if index.qgrams is not None else build_qgram_index(index.vocab)
+        (q.repartition("gram").sortWithinPartitions("gram", "vtoken")
+         .write.mode("overwrite").parquet(os.path.join(path, "qgrams")))
+
+    add = {}
+    p = index.postings
+    if postings_partitions:
+        p = p.repartition(postings_partitions, "token").sortWithinPartitions("token", "doc_id")
+    rel, absd = _new_data_dir(path, "postings", "init")
+    p.write.parquet(absd)
+    add["postings"] = [rel]
+    rel, absd = _new_data_dir(path, "doclens", "init")
+    index.doclens.write.parquet(absd)
+    add["doclens"] = [rel]
+    rel, absd = _new_data_dir(path, "blocks", "init")
+    (index.blocks.repartition("token").sortWithinPartitions("token", "block_id")
+     .write.parquet(absd))
+    add["blocks"] = [rel]
+
+    spark = index.spark
+    row = index.doclens.agg(F.max("doc_id")).collect()[0]
+    n_rows = spark.read.parquet(absd).count()
+    brow = index.blocks.agg(
+        F.count_distinct("token", "block_id").alias("groups")).collect()[0]
+    _commit(path, {
+        "op": "init", "add": add,
+        "metrics": {"last_doc": int(row[0] or 0),
+                    "n_block_rows": int(n_rows),
+                    "n_block_groups": int(brow.groups)},
+    })
+
+
+def load_index_txn(spark: SparkSession, path: str) -> BM25Index:
+    """Snapshot-isolated load: folds the log once; the returned frames
+    read only the dirs live at THIS snapshot, so concurrent appends,
+    compactions, or vacuums of newer garbage never change its results.
+    No lock, no recovery step — there is nothing to roll forward."""
+    with open(os.path.join(path, META)) as f:
+        meta = json.load(f)
+    snap = snapshot(path)
+
+    def table(name: str) -> DataFrame:
+        dirs = [os.path.join(path, d) for d in snap[name]]
+        for d in dirs:
+            spark.catalog.refreshByPath(d)
+        return spark.read.parquet(*dirs)
+
+    blocks = table("blocks")
+    from ..operators.postings import validate_blocks_schema
+
+    validate_blocks_schema(blocks, where=f"txnlog blocks at {path}")
+    qgrams_p = os.path.join(path, "qgrams")
+    qgrams = spark.read.parquet(qgrams_p) if os.path.isdir(qgrams_p) else None
+    return BM25Index(
+        cfg=TextConfig.from_json(json.dumps(meta["textconfig"])),
+        params=BM25Params(**meta["params"]),
+        bm25=FoldedBM25.from_json(json.dumps(meta["bm25"])),
+        vocab=spark.read.parquet(os.path.join(path, "vocab")),
+        postings=table("postings"),
+        doclens=table("doclens"),
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        blocks=blocks,
+        qgrams=qgrams,
+    )
+
+
+# ----------------------------------------------------- metadata folds
+
+def high_water_mark_txn(index_dir: str) -> int:
+    """Max last_doc over the log — no table scan, ever (the field is
+    mandatory in this layout, unlike the rename backend's retrofit)."""
+    return max(
+        (int(e["metrics"]["last_doc"]) for e in read_log(index_dir)
+         if "last_doc" in e.get("metrics", {})),
+        default=0,
+    )
+
+
+def fragmentation_estimate_txn(index_dir: str) -> dict:
+    """Same fold as plans.maintenance.fragmentation_estimate, from the
+    log: init/compact entries reset the base block stats, append
+    entries accumulate potential fragments."""
+    base_rows = base_groups = append_rows = n_appends = 0
+    for e in read_log(index_dir):
+        m = e.get("metrics", {})
+        if e["op"] in ("init", "compact"):
+            base_rows = int(m.get("n_block_rows", 0))
+            base_groups = int(m.get("n_block_groups", base_rows))
+            append_rows = n_appends = 0
+        elif e["op"] == "append":
+            append_rows += int(m.get("n_block_rows", 0))
+            n_appends += 1
+    return {
+        "n_appends": n_appends,
+        "base_block_rows": base_rows,
+        "base_block_groups": base_groups,
+        "append_block_rows": append_rows,
+        "fragment_extra_rows_max": base_rows - base_groups + append_rows,
+    }
+
+
+# ------------------------------------------------------------- append
+
+def append_batch_txn(
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    *,
+    doc_col: Optional[str] = None,
+    text_col: str = "text",
+    batch_id=None,
+    auto_compact_after: Optional[int] = 8,
+) -> dict:
+    """One append batch as a log transaction: write fresh data dirs,
+    publish ONE entry adding them. Identical frozen-vocab semantics to
+    streaming/append.py (shared compute_batch_postings kernel). A
+    replayed ``batch_id`` whose entry is already in the log returns its
+    recorded metrics without re-appending (exactly-once for streaming
+    retries); a crash before the commit leaves only unreachable data
+    dirs for vacuum."""
+    from ..operators.postings import build_posting_blocks
+    from ..streaming.append import compute_batch_postings
+
+    if batch_id is None:
+        batch_id = f"adhoc-{uuid.uuid4().hex[:12]}"
+    batch_id = str(batch_id)
+    for e in read_log(index_dir):
+        if e["op"] == "append" and e.get("batch_id") == batch_id:
+            return e["metrics"]
+
+    t0 = time.time()
+    idx = load_index_txn(spark, index_dir)
+    span = int(idx.blocks.select("span").limit(1).collect()[0][0])
+    hwm = high_water_mark_txn(index_dir)
+    postings, n_new, first_doc, last_doc = compute_batch_postings(
+        spark, idx, new_docs, doc_col=doc_col, text_col=text_col, hwm=hwm)
+
+    postings = postings.cache()
+    add = {}
+    rel_b, abs_b = _new_data_dir(index_dir, "blocks", f"append-{batch_id}")
+    build_posting_blocks(postings, span=span).write.parquet(abs_b)
+    add["blocks"] = [rel_b]
+    rel_p, abs_p = _new_data_dir(index_dir, "postings", f"append-{batch_id}")
+    postings.write.parquet(abs_p)
+    add["postings"] = [rel_p]
+    rel_d, abs_d = _new_data_dir(index_dir, "doclens", f"append-{batch_id}")
+    postings.groupBy("doc_id").agg(F.first("doclen").alias("doclen")).write.parquet(abs_d)
+    add["doclens"] = [rel_d]
+    postings.unpersist()
+
+    n_block_rows = spark.read.parquet(abs_b).count()
+    metrics = {
+        "n_docs_appended": n_new,
+        "first_doc": first_doc,
+        "last_doc": last_doc,
+        "n_block_rows": int(n_block_rows),
+        "append_sec": round(time.time() - t0, 3),
+        "span": span,
+        "batch_id": batch_id,
+    }
+    committed = False
+    while not committed:
+        # optimistic commit; on a seq collision re-check the dedupe key
+        # (a concurrent retry of the SAME epoch may have won)
+        for e in read_log(index_dir):
+            if e["op"] == "append" and e.get("batch_id") == batch_id:
+                return e["metrics"]
+        committed = _publish(
+            _log_path(index_dir, len(read_log(index_dir)) + 1),
+            {"op": "append", "batch_id": batch_id, "add": add,
+             "metrics": metrics, "committed_at": time.time()},
+        )
+
+    if auto_compact_after:
+        if fragmentation_estimate_txn(index_dir)["n_appends"] >= auto_compact_after:
+            metrics["compaction"] = compact_index_txn(spark, index_dir)
+    return metrics
+
+
+# ------------------------------------------------------------ compact
+
+def compact_index_txn(spark: SparkSession, index_dir: str) -> dict:
+    """Fold the appends' block fragments into one merged blocks dir and
+    publish a single add+remove entry. Postings/doclens dirs are NOT
+    touched — the log simply keeps owning them (the rename backend had
+    to physically move their part-files). Old block dirs stay on disk
+    for snapshot-isolated readers until ``vacuum``."""
+    from ..operators.postings import BLOCKS_COLUMNS, compact_blocks
+
+    est = fragmentation_estimate_txn(index_dir)
+    if est["fragment_extra_rows_max"] == 0 and est["n_appends"] == 0:
+        return {**est, "skipped": True}
+    t0 = time.time()
+    log = read_log(index_dir)
+    snap = snapshot(index_dir, log)
+    idx = load_index_txn(spark, index_dir)
+    merged = compact_blocks(idx.blocks, idx.bm25).select(*BLOCKS_COLUMNS)
+    rel, absd = _new_data_dir(index_dir, "blocks", "compact")
+    (merged.repartition("token").sortWithinPartitions("token", "block_id")
+     .write.parquet(absd))
+    n_rows = spark.read.parquet(absd).count()
+    metrics = {
+        "last_doc": high_water_mark_txn(index_dir),
+        "n_block_rows": int(n_rows),
+        "n_block_groups": int(n_rows),  # compact_blocks: one row per group
+        "appends_folded": est["n_appends"],
+        "compact_sec": round(time.time() - t0, 3),
+    }
+    committed = False
+    while not committed:
+        committed = _publish(
+            _log_path(index_dir, len(read_log(index_dir)) + 1),
+            {"op": "compact", "add": {"blocks": [rel]},
+             "remove": {"blocks": snap["blocks"]},
+             "metrics": metrics, "committed_at": time.time()},
+        )
+    return metrics
+
+
+# -------------------------------------------------------------- vacuum
+
+def vacuum_txn(index_dir: str) -> list[str]:
+    """Delete data dirs no longer referenced by the CURRENT snapshot:
+    compaction leftovers and crashed writers' never-committed staging.
+    Run it only when no reader still holds a snapshot older than the
+    last compaction (the Delta/Iceberg retention contract — a retention
+    window would gate this in production). Returns the deleted dirs."""
+    import shutil
+
+    live = {d for dirs in snapshot(index_dir).values() for d in dirs}
+    deleted = []
+    for t in _TABLES:
+        tdir = os.path.join(index_dir, DATA_DIR, t)
+        if not os.path.isdir(tdir):
+            continue
+        for name in sorted(os.listdir(tdir)):
+            rel = os.path.join(DATA_DIR, t, name)
+            if rel not in live:
+                shutil.rmtree(os.path.join(tdir, name))
+                deleted.append(rel)
+    return deleted

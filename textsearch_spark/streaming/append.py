@@ -90,6 +90,81 @@ def high_water_mark(spark: SparkSession, index_dir: str) -> int:
     return int(row[0] or 0)
 
 
+def compute_batch_postings(
+    spark: SparkSession,
+    idx,
+    new_docs: DataFrame,
+    *,
+    doc_col: Optional[str],
+    text_col: str,
+    hwm: int,
+):
+    """Backend-agnostic core of one append batch: assign doc ids above
+    the high-water mark and score the batch against the FROZEN
+    vocabulary/constants (reference append_items! semantics, module
+    docstring). Returns ``(postings, n_new, first_doc, last_doc)`` —
+    postings in POSTING_COLS long form; the caller derives blocks and
+    doclens and owns staging/commit (rename protocol here, transaction
+    log in sources/txnlog.py)."""
+    if doc_col is None:
+        # scale-safe auto-id: range-partition + local sort by the text,
+        # then zipWithIndex offset by the high-water mark — contiguous
+        # cross-partition ids in ONE job, same pattern as
+        # sources.corpus.with_doc_ids. (A global Window.orderBy funnels
+        # the whole batch through a single task's sort: fine for small
+        # micro-batches, silently serial for a 10^8-doc bulk append.)
+        from pyspark.sql.types import LongType, StructField
+
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        d = (
+            new_docs.repartitionByRange(n_part, F.col(text_col))
+            .sortWithinPartitions(text_col)
+        )
+        schema = d.schema.add(StructField("doc_id", LongType(), False))
+        docs = spark.createDataFrame(
+            d.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1 + hwm)), schema
+        )
+        n_new = docs.count()
+        first_doc, last_doc = hwm + 1, hwm + n_new
+    else:
+        docs = new_docs.withColumnRenamed(doc_col, "doc_id") if doc_col != "doc_id" else new_docs
+        agg = docs.agg(
+            F.min("doc_id").alias("low"),
+            F.max("doc_id").alias("high"),
+            F.count("*").alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+        ).collect()[0]
+        if agg.low is not None and agg.low <= hwm:
+            raise ValueError(f"appended doc_id {agg.low} <= high-water mark {hwm}")
+        if agg.n != agg.nd:
+            # duplicate ids within a batch would double-count in both
+            # scorers; concurrent appends are unsupported (single writer)
+            raise ValueError(
+                f"appended batch has duplicate doc_ids ({agg.n} rows, "
+                f"{agg.nd} distinct)"
+            )
+        n_new = int(agg.n)
+        first_doc = int(agg.low) if agg.low is not None else hwm
+        last_doc = int(agg.high) if agg.high is not None else hwm
+
+    bow = bow_long(docs, idx.cfg, text_col=text_col)
+    # frozen-vocab join: OOV drops; ndocs = fit-time values
+    bow_f = bow.join(idx.vocab.select("token", "ndocs"), "token")
+    # appended doclen counts in-vocabulary tokens (src/bm25invfile.jl:143-152)
+    wdoc = Window.partitionBy("doc_id")
+    bow_f = bow_f.withColumn("doclen", F.sum("tf").over(wdoc))
+    postings = bow_f.withColumn(
+        "impact",
+        tokenscore_expr(
+            idx.bm25,
+            F.col("ndocs").cast("double"),
+            F.col("doclen").cast("double"),
+            F.col("tf").cast("double"),
+        ),
+    ).select(*POSTING_COLS)
+    return postings, n_new, first_doc, last_doc
+
+
 def append_batch_to_index(
     spark: SparkSession,
     index_dir: str,
@@ -156,62 +231,8 @@ def _append_locked(
     assert idx.blocks is not None, "append requires a block index (save with blocks)"
     span = int(idx.blocks.select("span").limit(1).collect()[0][0])
     hwm = high_water_mark(spark, index_dir)
-
-    if doc_col is None:
-        # scale-safe auto-id: range-partition + local sort by the text,
-        # then zipWithIndex offset by the high-water mark — contiguous
-        # cross-partition ids in ONE job, same pattern as
-        # sources.corpus.with_doc_ids. (A global Window.orderBy funnels
-        # the whole batch through a single task's sort: fine for small
-        # micro-batches, silently serial for a 10^8-doc bulk append.)
-        from pyspark.sql.types import LongType, StructField
-
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        d = (
-            new_docs.repartitionByRange(n_part, F.col(text_col))
-            .sortWithinPartitions(text_col)
-        )
-        schema = d.schema.add(StructField("doc_id", LongType(), False))
-        docs = spark.createDataFrame(
-            d.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1 + hwm)), schema
-        )
-        low = hwm + 1
-    else:
-        docs = new_docs.withColumnRenamed(doc_col, "doc_id") if doc_col != "doc_id" else new_docs
-        agg = docs.agg(
-            F.min("doc_id").alias("low"),
-            F.max("doc_id").alias("high"),
-            F.count("*").alias("n"),
-            F.countDistinct("doc_id").alias("nd"),
-        ).collect()[0]
-        low = agg.low
-        high = agg.high
-        if low is not None and low <= hwm:
-            raise ValueError(f"appended doc_id {low} <= high-water mark {hwm}")
-        if agg.n != agg.nd:
-            # duplicate ids within a batch would double-count in both
-            # scorers; concurrent appends are unsupported (single writer)
-            raise ValueError(
-                f"appended batch has duplicate doc_ids ({agg.n} rows, "
-                f"{agg.nd} distinct)"
-            )
-
-    n_new = docs.count()
-    bow = bow_long(docs, idx.cfg, text_col=text_col)
-    # frozen-vocab join: OOV drops; ndocs = fit-time values
-    bow_f = bow.join(idx.vocab.select("token", "ndocs"), "token")
-    # appended doclen counts in-vocabulary tokens (src/bm25invfile.jl:143-152)
-    wdoc = Window.partitionBy("doc_id")
-    bow_f = bow_f.withColumn("doclen", F.sum("tf").over(wdoc))
-    postings = bow_f.withColumn(
-        "impact",
-        tokenscore_expr(
-            idx.bm25,
-            F.col("ndocs").cast("double"),
-            F.col("doclen").cast("double"),
-            F.col("tf").cast("double"),
-        ),
-    ).select(*POSTING_COLS)
+    postings, n_new, first_doc, last_doc = compute_batch_postings(
+        spark, idx, new_docs, doc_col=doc_col, text_col=text_col, hwm=hwm)
 
     postings = postings.cache()
     new_blocks = build_posting_blocks(postings, span=span)
@@ -231,9 +252,8 @@ def _append_locked(
     n_block_rows = spark.read.parquet(os.path.join(batch_dir, "blocks")).count()
     metrics = {
         "n_docs_appended": n_new,
-        "first_doc": hwm + 1 if doc_col is None else int(low),
-        "last_doc": hwm + n_new if doc_col is None else (
-            int(high) if high is not None else hwm),
+        "first_doc": first_doc,
+        "last_doc": last_doc,
         "n_block_rows": int(n_block_rows),
         "append_sec": round(time.time() - t0, 3),
         "span": span,
