@@ -31,6 +31,14 @@ whichever tier demands more bandwidth — a single-box artifact a real
 sanity checks at these levels scale 0.92-1.0; the concurrent pair is
 what the bench records.
 
+The scaling protocol runs on TWO corpus shapes (r03 verdict item 8):
+the dense synthetic source-code corpus (stop-word-frequent terms: the
+posting-build skew shape, BMW inert) and the Zipf-vocabulary corpus
+(pruning ACTIVE — the WAND bound test skips ranges), so the >=0.8
+efficiency gate covers both execution profiles. Both legs of a pair
+pin identical n_buckets/query_groups, so per-query work is equal
+across tiers.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_SCALING=0 to skip the scaling runs,
@@ -38,7 +46,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_SCALING_RUNS (default 2 concurrent pairs),
      SPARK_GRAFT_SYNTH_DOCS (default 960000 — sized so the ~5-7s of
      per-leg fixed cost (job scheduling, codegen, broadcasts) stays
-     under ~15% of the 4N leg; smaller corpora understate scaling).
+     under ~15% of the 4N leg; smaller corpora understate scaling),
+     SPARK_GRAFT_SCALING_ZIPF=0 to skip the Zipf-corpus scaling pair,
+     SPARK_GRAFT_SCALING_ZIPF_QUERIES (default 2048),
+     SPARK_GRAFT_SCALING_ZIPF_RUNS (default 1).
 """
 
 from __future__ import annotations
@@ -181,28 +192,33 @@ def _bench_zipf(cpus: int, timings: dict, meta: dict, n_docs: int):
     spark.stop()
 
 
-def _gen_scaling_corpus(n_docs: int, cpus: int) -> str:
-    """Generate the deterministic synthetic source-code corpus ONCE (at
-    full parallelism, untimed) into a parquet dir shared by every leg.
-    Each leg then pays an identical scan — generation cost and variance
-    stay out of the measurement."""
+def _gen_scaling_corpus(n_docs: int, cpus: int, kind: str = "code") -> str:
+    """Generate a deterministic synthetic corpus ONCE (at full
+    parallelism, untimed) into a parquet dir shared by every leg. Each
+    leg then pays an identical scan — generation cost and variance stay
+    out of the measurement. ``kind='zipf'`` shares its cache path with
+    the zipf pruning leg, so the corpus is generated once per size."""
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), f"ts_scaling_corpus_{n_docs}")
+    name = f"ts_zipf_corpus_{n_docs}" if kind == "zipf" else f"ts_scaling_corpus_{n_docs}"
+    path = os.path.join(tempfile.gettempdir(), name)
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
     from textsearch_spark.session import get_spark
-    from textsearch_spark.sources.corpus import synthetic_code_corpus, with_doc_ids
+    from textsearch_spark.sources.corpus import (
+        synthetic_code_corpus, synthetic_zipf_corpus, with_doc_ids,
+    )
 
+    gen = synthetic_zipf_corpus if kind == "zipf" else synthetic_code_corpus
     spark = get_spark(f"local[{cpus}]", app_name="bench-gen", shuffle_partitions=cpus)
-    corpus = with_doc_ids(synthetic_code_corpus(spark, n_docs, partitions=max(cpus * 2, 64)))
+    corpus = with_doc_ids(gen(spark, n_docs, partitions=max(cpus * 2, 64)))
     corpus.repartition(max(cpus * 2, 64)).write.mode("overwrite").parquet(path)
     spark.stop()
     return path
 
 
-def _scaling_pair(n_small: int, corpus_path: str, n_queries: int):
+def _scaling_pair(n_small: int, corpus_path: str, n_queries: int, kind: str = "code"):
     """One CONCURRENT N-vs-4N pair: two fresh subprocesses (own JVMs)
     pinned to disjoint core sets run at the same moment, so both
     tiers experience the identical host state. This host's delivered
@@ -227,7 +243,7 @@ def _scaling_pair(n_small: int, corpus_path: str, n_queries: int):
     for role, cpus, offset in (("small", n_small, 0), ("big", 4 * n_small, n_small)):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--scaling-leg",
-             str(cpus), corpus_path, str(n_queries), role, barrier, str(offset)],
+             str(cpus), corpus_path, str(n_queries), role, barrier, str(offset), kind],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
         ))
     outs = [p.communicate()[0] for p in procs]
@@ -253,7 +269,8 @@ def _touch(path: str):
 
 
 def _scaling_leg_main(cpus: int, corpus_path: str, n_queries: int,
-                      role: str = "small", barrier: str = "", core_offset: int = 0):
+                      role: str = "small", barrier: str = "", core_offset: int = 0,
+                      kind: str = "code"):
     """Subprocess body for one leg of a concurrent pair; prints one
     JSON line.
 
@@ -296,26 +313,38 @@ def _scaling_leg_main(cpus: int, corpus_path: str, n_queries: int,
         lambda it: (pdf for pdf in it), "x int").count()
 
     cfg = TextConfig(nlist=[1])
-    n_blocks = -(-n_docs // 4096)
+    span = 1024 if kind == "zipf" else 4096
+    n_blocks = -(-n_docs // span)
 
     def one_build():
         t0 = time.time()
         # the at-scale build: tokenize -> ONE (token, block) shuffle ->
         # compressed block-max postings (build_bm25_index_direct)
-        idx = build_bm25_index_direct(corpus, cfg, text_col="content", span=4096)
+        idx = build_bm25_index_direct(corpus, cfg, text_col="content", span=span)
         idx.blocks.count()
         return time.time() - t0, idx
 
     def one_query(idx, qdf):
         t0 = time.time()
-        # one bucket per block keeps tasks uniform; query_groups=1
-        # ships each blob over the wire exactly once (measured equal-
-        # or-faster than 2/4 groups at both core counts, 4x less
-        # shuffle). On this synthetic corpus every term is stop-word-
-        # dense so block-max bounds cannot prune; a Zipf-vocab corpus
-        # would use coarser buckets to engage BMW.
-        search_bm25_wand(idx, qdf, 10, n_buckets=n_blocks, query_groups=1,
-                         prune_scan=False).count()  # blocks are cached in memory
+        if kind == "zipf":
+            # the pruning-active shape: fold >= MIN_RANGES_PER_BUCKET
+            # ranges per bucket so the block-max bound test has ranges
+            # to skip; query_groups restores parallelism without
+            # touching prune depth. BOTH knobs are pinned to the same
+            # values on the N and 4N legs, so per-query work is
+            # identical across tiers and the ratio measures scaling,
+            # not a knob change.
+            search_bm25_wand(idx, qdf, 10, n_buckets=max(1, n_blocks // 32),
+                             query_groups=8, prune_scan=False).count()
+        else:
+            # one bucket per block keeps tasks uniform; query_groups=1
+            # ships each blob over the wire exactly once (measured equal-
+            # or-faster than 2/4 groups at both core counts, 4x less
+            # shuffle). On this dense synthetic corpus every term is
+            # stop-word-frequent so block-max bounds cannot prune — the
+            # zipf kind above is the pruning-active complement.
+            search_bm25_wand(idx, qdf, 10, n_buckets=n_blocks, query_groups=1,
+                             prune_scan=False).count()  # blocks cached in memory
         return time.time() - t0
 
     def reset_caches():
@@ -409,46 +438,71 @@ def main():
         n_big = 4 * n_small
         n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "2"))
         cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN_SEC", "10"))
-        corpus_path = _gen_scaling_corpus(synth_docs, cpus)
-        pairs = []
-        for _ in range(n_runs):
-            time.sleep(cooldown)
-            pairs.append(_scaling_pair(n_small, corpus_path, nq))
-        # per-pair efficiency: the N sample integrates the same host
-        # window the 4N repetitions cover, so MEAN of the 4N reps is
-        # the matched estimator. Best pair reported (host state can
-        # still differ between pairs); every raw value is in the JSON.
         mean = lambda xs: sum(xs) / len(xs)
-        pair_stats = [
-            {
-                "build_small": round(b_s, 2), "query_small": round(q_s, 2),
-                "build_big_reps": b_b, "query_big_reps": q_b,
-                "build_eff": round(b_s / (4 * mean(b_b)), 3),
-                "query_eff": round(q_s / (4 * mean(q_b)), 3),
+
+        def run_pairs(corpus_path, nq, n_runs, kind):
+            pairs = []
+            for _ in range(n_runs):
+                time.sleep(cooldown)
+                pairs.append(_scaling_pair(n_small, corpus_path, nq, kind))
+            # per-pair efficiency: the N sample integrates the same host
+            # window the 4N repetitions cover, so MEAN of the 4N reps is
+            # the matched estimator. Best pair reported (host state can
+            # still differ between pairs); every raw value is in the JSON.
+            return [
+                {
+                    "build_small": round(b_s, 2), "query_small": round(q_s, 2),
+                    "build_big_reps": b_b, "query_big_reps": q_b,
+                    "build_eff": round(b_s / (4 * mean(b_b)), 3),
+                    "query_eff": round(q_s / (4 * mean(q_b)), 3),
+                }
+                for b_s, q_s, b_b, q_b in pairs
+            ]
+
+        def summarize(pair_stats, n_docs, nq):
+            best_b = max(pair_stats, key=lambda p: p["build_eff"])
+            best_q = max(pair_stats, key=lambda p: p["query_eff"])
+            b_small, b_big = best_b["build_small"], mean(best_b["build_big_reps"])
+            q_small, q_big = best_q["query_small"], mean(best_q["query_big_reps"])
+            return b_small, b_big, q_small, q_big, {
+                "n_docs": n_docs,
+                "n_queries": nq,
+                "cores": {"N": n_small, "4N": n_big, "pinned": True,
+                          "concurrent_pair": True},
+                "pairs": pair_stats,
+                "build_rows_per_sec": {f"local{n_small}": round(n_docs / b_small, 1),
+                                       f"local{n_big}": round(n_docs / b_big, 1)},
+                "query_qps": {f"local{n_small}": round(nq / q_small, 1),
+                              f"local{n_big}": round(nq / q_big, 1)},
+                "build_efficiency": best_b["build_eff"],
+                "query_efficiency": best_q["query_eff"],
             }
-            for b_s, q_s, b_b, q_b in pairs
-        ]
-        best_b = max(pair_stats, key=lambda p: p["build_eff"])
-        best_q = max(pair_stats, key=lambda p: p["query_eff"])
-        b_small, b_big = best_b["build_small"], mean(best_b["build_big_reps"])
-        q_small, q_big = best_q["query_small"], mean(best_q["query_big_reps"])
+
+        corpus_path = _gen_scaling_corpus(synth_docs, cpus)
+        b_small, b_big, q_small, q_big, scaling = summarize(
+            run_pairs(corpus_path, nq, n_runs, "code"), synth_docs, nq)
         timings[f"synth_build_local{n_small}"] = b_small
         timings[f"synth_build_local{n_big}"] = b_big
         timings[f"synth_query_local{n_small}"] = q_small
         timings[f"synth_query_local{n_big}"] = q_big
-        scaling = {
-            "n_docs": synth_docs,
-            "n_queries": nq,
-            "cores": {"N": n_small, "4N": n_big, "pinned": True,
-                      "concurrent_pair": True},
-            "pairs": pair_stats,
-            "build_rows_per_sec": {f"local{n_small}": round(synth_docs / b_small, 1),
-                                   f"local{n_big}": round(synth_docs / b_big, 1)},
-            "query_qps": {f"local{n_small}": round(nq / q_small, 1),
-                          f"local{n_big}": round(nq / q_big, 1)},
-            "build_efficiency": best_b["build_eff"],
-            "query_efficiency": best_q["query_eff"],
-        }
+
+        # the SECOND corpus shape (r03 verdict item 8): the same pinned
+        # concurrent N/4N protocol on the Zipf-vocabulary corpus, where
+        # block-max pruning is ACTIVE — so the scaling gate covers both
+        # the dense/skew shape and the pruning shape. One pair by
+        # default (the corpus is smaller; raw legs in the JSON).
+        if os.environ.get("SPARK_GRAFT_SCALING_ZIPF", "1") != "0":
+            zipf_docs = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "120000"))
+            nq_zipf = int(os.environ.get("SPARK_GRAFT_SCALING_ZIPF_QUERIES", "2048"))
+            zruns = int(os.environ.get("SPARK_GRAFT_SCALING_ZIPF_RUNS", "1"))
+            zpath = _gen_scaling_corpus(zipf_docs, cpus, kind="zipf")
+            zb_s, zb_b, zq_s, zq_b, zsc = summarize(
+                run_pairs(zpath, nq_zipf, zruns, "zipf"), zipf_docs, nq_zipf)
+            timings[f"zipf_build_local{n_small}"] = zb_s
+            timings[f"zipf_build_local{n_big}"] = zb_b
+            timings[f"zipf_query_local{n_small}"] = zq_s
+            timings[f"zipf_query_local{n_big}"] = zq_b
+            scaling["zipf"] = zsc
 
     out = {
         "metric": "bm25_index_build_and_topk_query",
@@ -465,8 +519,11 @@ def main():
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[1] == "--scaling-leg":
         os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
-        _scaling_leg_main(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
-                          *( [sys.argv[5], sys.argv[6], int(sys.argv[7])]
-                             if len(sys.argv) >= 8 else [] ))
+        extra = []
+        if len(sys.argv) >= 8:
+            extra = [sys.argv[5], sys.argv[6], int(sys.argv[7])]
+            if len(sys.argv) >= 9:
+                extra.append(sys.argv[8])
+        _scaling_leg_main(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), *extra)
     else:
         main()
