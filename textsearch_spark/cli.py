@@ -29,6 +29,11 @@ def main(argv=None):
     b.add_argument("--block-span", type=int, default=4096)
     b.add_argument("--assign-doc-ids", action="store_true",
                    help="derive stable doc ids from (repo, path, commit)")
+    b.add_argument("--backend", choices=["rename", "txnlog"], default="rename",
+                   help="rename = checkpointed/resumable POSIX layout; txnlog = "
+                        "object-store-safe log layout (the init commit makes the "
+                        "whole build atomic: a crashed build leaves only "
+                        "unreachable data dirs, re-run from scratch)")
 
     a = sub.add_parser("append", help="append new docs into an existing index "
                                       "(append_items! semantics: frozen vocab/constants)")
@@ -75,11 +80,22 @@ def main(argv=None):
         if args.assign_doc_ids:
             df = with_doc_ids(df)
         cfg = TextConfig.from_json(args.textconfig) if args.textconfig else TextConfig(nlist=[1])
-        idx = build_bm25_index_checkpointed(
-            df, cfg, args.index,
-            doc_col=args.doc_col, text_col=args.text_col,
-            vocab_filter=args.vocab_filter, block_span=args.block_span,
-        )
+        if args.backend == "txnlog":
+            from .operators.postings import build_posting_blocks
+            from .plans.build import build_bm25_index
+            from .sources.txnlog import save_index_txn
+
+            idx = build_bm25_index(df, cfg, doc_col=args.doc_col,
+                                   text_col=args.text_col,
+                                   vocab_filter=args.vocab_filter)
+            idx.blocks = build_posting_blocks(idx.postings, span=args.block_span)
+            save_index_txn(idx, args.index)
+        else:
+            idx = build_bm25_index_checkpointed(
+                df, cfg, args.index,
+                doc_col=args.doc_col, text_col=args.text_col,
+                vocab_filter=args.vocab_filter, block_span=args.block_span,
+            )
         print(f"index at {args.index}: n_docs={idx.n_docs} avgdl={idx.avgdl:.3f}")
     elif args.cmd == "append":
         df = spark.read.parquet(args.input)
