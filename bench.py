@@ -48,8 +48,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      per-leg fixed cost (job scheduling, codegen, broadcasts) stays
      under ~15% of the 4N leg; smaller corpora understate scaling),
      SPARK_GRAFT_SCALING_ZIPF=0 to skip the Zipf-corpus scaling pair,
-     SPARK_GRAFT_SCALING_ZIPF_QUERIES (default 2048),
-     SPARK_GRAFT_SCALING_ZIPF_RUNS (default 1).
+     SPARK_GRAFT_SCALING_ZIPF_QUERIES (default 8192),
+     SPARK_GRAFT_SCALING_ZIPF_RUNS (default 1),
+     SPARK_GRAFT_ZIPF_RPB / SPARK_GRAFT_ZIPF_QG (zipf-leg WAND knobs:
+     ranges per bucket, default 16; query groups, default 16).
 """
 
 from __future__ import annotations
@@ -295,8 +297,15 @@ def _scaling_leg_main(cpus: int, corpus_path: str, n_queries: int,
     from textsearch_spark.plans.build import build_bm25_index_direct
     from textsearch_spark.session import get_spark
 
+    # shuffle partitions scale WITH the core budget (4x cores, the
+    # standard deployment ratio): applyInPandas parallelism is capped
+    # by shuffle partitions — same-partition groups run serially in
+    # one task — so a fixed count hands the 4N leg one wave of uneven
+    # tasks whose slowest member sets the wall, while the N leg
+    # load-balances over 4x the waves. Per-group work is partition-
+    # count independent, so the tiers still do identical work.
     spark = get_spark(f"local[{cpus}]", app_name=f"bench-scaling-{role}-{cpus}",
-                      shuffle_partitions=max(cpus, 8),
+                      shuffle_partitions=max(4 * cpus, 8),
                       # local mode: shuffle files hit the page cache, so
                       # compression is pure CPU overhead (keep it on for
                       # real clusters where shuffle crosses the network)
@@ -327,15 +336,21 @@ def _scaling_leg_main(cpus: int, corpus_path: str, n_queries: int,
     def one_query(idx, qdf):
         t0 = time.time()
         if kind == "zipf":
-            # the pruning-active shape: fold >= MIN_RANGES_PER_BUCKET
-            # ranges per bucket so the block-max bound test has ranges
-            # to skip; query_groups restores parallelism without
-            # touching prune depth. BOTH knobs are pinned to the same
-            # values on the N and 4N legs, so per-query work is
-            # identical across tiers and the ratio measures scaling,
-            # not a knob change.
-            search_bm25_wand(idx, qdf, 10, n_buckets=max(1, n_blocks // 32),
-                             query_groups=8, prune_scan=False).count()
+            # the pruning-active shape: fold multiple doc ranges per
+            # bucket so the block-max bound test has ranges to skip;
+            # query_groups restores parallelism without touching prune
+            # depth. BOTH knobs are pinned to the same values on the N
+            # and 4N legs, so per-query work is identical across tiers
+            # and the ratio measures scaling, not a knob change. The
+            # defaults (16 ranges/bucket, 16 groups) give the 4N leg
+            # enough task slack that one straggler kernel does not own
+            # a whole wave — at 120k docs / span 1024 that is ~7x16 =
+            # 112 tasks (vs 24 with the 32/8 defaults, where the 8-core
+            # leg ran 3 waves and its slowest task set the wall).
+            rpb = int(os.environ.get("SPARK_GRAFT_ZIPF_RPB", "16"))
+            qg = int(os.environ.get("SPARK_GRAFT_ZIPF_QG", "16"))
+            search_bm25_wand(idx, qdf, 10, n_buckets=max(1, n_blocks // rpb),
+                             query_groups=qg, prune_scan=False).count()
         else:
             # one bucket per block keeps tasks uniform; query_groups=1
             # ships each blob over the wire exactly once (measured equal-
@@ -493,7 +508,7 @@ def main():
         # default (the corpus is smaller; raw legs in the JSON).
         if os.environ.get("SPARK_GRAFT_SCALING_ZIPF", "1") != "0":
             zipf_docs = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "120000"))
-            nq_zipf = int(os.environ.get("SPARK_GRAFT_SCALING_ZIPF_QUERIES", "2048"))
+            nq_zipf = int(os.environ.get("SPARK_GRAFT_SCALING_ZIPF_QUERIES", "8192"))
             zruns = int(os.environ.get("SPARK_GRAFT_SCALING_ZIPF_RUNS", "1"))
             zpath = _gen_scaling_corpus(zipf_docs, cpus, kind="zipf")
             zb_s, zb_b, zq_s, zq_b, zsc = summarize(
