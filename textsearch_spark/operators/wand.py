@@ -294,6 +294,15 @@ def search_bm25_wand(
     For large batches over modest block counts (the common shape), pick
     n_buckets so each bucket holds >= MIN_RANGES_PER_BUCKET ranges and
     raise query_groups for parallelism.
+
+    Deployment note: the scoring stage's parallelism is
+    ``min(n_buckets * query_groups, spark.sql.shuffle.partitions)`` —
+    applyInPandas runs same-partition groups serially inside one task,
+    so an undersized shuffle-partition count silently caps the kernel
+    at that many tasks regardless of the knobs. Size it to >= 2-4x the
+    executor core count (measured on the N-vs-4N gate: a fixed count
+    of 8 cost the 8-core tier ~40% query efficiency purely to one-wave
+    straggler imbalance).
     """
     assert index.blocks is not None, "build_posting_blocks first (or io.load_index)"
     from .postings import validate_blocks_schema
