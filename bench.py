@@ -297,15 +297,20 @@ def _scaling_leg_main(cpus: int, corpus_path: str, n_queries: int,
     from textsearch_spark.plans.build import build_bm25_index_direct
     from textsearch_spark.session import get_spark
 
-    # shuffle partitions scale WITH the core budget (4x cores, the
-    # standard deployment ratio): applyInPandas parallelism is capped
-    # by shuffle partitions — same-partition groups run serially in
-    # one task — so a fixed count hands the 4N leg one wave of uneven
-    # tasks whose slowest member sets the wall, while the N leg
-    # load-balances over 4x the waves. Per-group work is partition-
-    # count independent, so the tiers still do identical work.
+    # shuffle partitions: applyInPandas parallelism is capped by the
+    # shuffle-partition count (same-partition groups run serially in
+    # one task). The ZIPF kernel's tasks are skewed — a fixed count of
+    # 8 handed the 4N leg one wave of uneven tasks whose slowest member
+    # set the wall (measured 0.49-0.55 query efficiency, an artifact) —
+    # so that shape scales partitions 4x cores and load-balances ~4
+    # waves. The CODE kernel's tasks are uniform (one equal-size block
+    # per bucket), where one exactly-core-sized wave IS the optimum and
+    # extra partitions only add per-task overhead. Per-group work is
+    # partition-count independent either way, so the tiers in a pair
+    # always do identical work.
+    shuffle = max(4 * cpus, 8) if kind == "zipf" else max(cpus, 8)
     spark = get_spark(f"local[{cpus}]", app_name=f"bench-scaling-{role}-{cpus}",
-                      shuffle_partitions=max(4 * cpus, 8),
+                      shuffle_partitions=shuffle,
                       # local mode: shuffle files hit the page cache, so
                       # compression is pure CPU overhead (keep it on for
                       # real clusters where shuffle crosses the network)
