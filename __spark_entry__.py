@@ -853,7 +853,7 @@ def q_bm25_topk_txnlog(spark, sf_dir):
             spark, path, docs.filter(F.col("doc_id") > q3),
             doc_col="doc_id", batch_id=1, auto_compact_after=2)
         assert m.get("compaction"), "second append must trigger log-txn compaction"
-        tx.vacuum_txn(path)
+        tx.vacuum_txn(path, min_age_sec=0)
         idx2 = tx.load_index_txn(spark, path)
         res = search_bm25_wand(idx2, _query_df(spark), TOP_K).select(
             "query_id", "rank", "doc_id", F.round("score", 4).alias("score4")

@@ -107,7 +107,7 @@ def test_txn_crash_invisible_and_idempotent_retry(spark, golden_corpus_df, tmp_p
     os.makedirs(ghost)
     idx = tx.load_index_txn(spark, path)
     assert idx.doclens.count() == 7  # unreachable garbage ignored
-    assert any("append-ghost" in d for d in tx.vacuum_txn(path))
+    assert any("append-ghost" in d for d in tx.vacuum_txn(path, min_age_sec=0))
     assert not os.path.isdir(ghost)
 
     new = spark.createDataFrame([(8, "la casa")], "doc_id long, text string")
@@ -172,7 +172,7 @@ def test_txn_compaction_is_log_transaction_with_snapshot_isolation(
     # three superseded ones (init + 2 appends) and nothing else
     snap = tx.snapshot(path)
     assert len(snap["blocks"]) == 1
-    deleted = tx.vacuum_txn(path)
+    deleted = tx.vacuum_txn(path, min_age_sec=0)
     assert len([d for d in deleted if d.startswith("data/blocks/")]) == 3
     assert sorted((r.rank, r.doc_id, round(r.score, 10))
                   for r in search_bm25_wand(tx.load_index_txn(spark, path), q, 8,
@@ -193,3 +193,100 @@ def test_txn_auto_compaction_and_text_search(spark, golden_corpus_df, tmp_path):
     idx = tx.load_index_txn(spark, path)
     res = search_bm25_text(idx, "pera rica", k=10).collect()
     assert {r.doc_id for r in res} >= {5, 8, 9, 10}
+
+def _race_once(monkeypatch, rival_entry, on_op):
+    """Monkeypatch tx._publish so the FIRST publish attempt for an
+    ``on_op`` entry loses the sequence race to ``rival_entry`` (a
+    concurrent writer claims that seq first) — the interleaving the
+    optimistic-commit validation must handle."""
+    real_publish = tx._publish
+    state = {"fired": False}
+
+    def racing(p, doc):
+        if doc.get("op") == on_op and not state["fired"]:
+            state["fired"] = True
+            real_publish(p, {**rival_entry, "seq": doc["seq"], "committed_at": 0.0})
+        return real_publish(p, doc)
+
+    monkeypatch.setattr(tx, "_publish", racing)
+    return state
+
+
+def test_txn_concurrent_append_conflict_raises(spark, golden_corpus_df, tmp_path,
+                                               monkeypatch):
+    """A DIFFERENT batch committing between our snapshot and our commit
+    moved the high-water mark our doc ids were assigned against — the
+    retry must raise TxnConflict, never publish the stale batch."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    state = _race_once(monkeypatch, {
+        "op": "append", "batch_id": "rival", "add": {},
+        "metrics": {"last_doc": 99, "n_block_rows": 0},
+    }, on_op="append")
+    new = spark.createDataFrame([(8, "la casa")], "doc_id long, text string")
+    with pytest.raises(tx.TxnConflict, match="high-water"):
+        tx.append_batch_txn(spark, path, new, doc_col="doc_id",
+                            auto_compact_after=None)
+    assert state["fired"]
+    # the loser's staged dirs are unreachable garbage, reclaimable
+    idx = tx.load_index_txn(spark, path)
+    assert idx.doclens.filter("doc_id = 8").count() == 0
+    assert tx.vacuum_txn(path, min_age_sec=0)
+
+
+def test_txn_append_commutes_with_concurrent_compaction(spark, golden_corpus_df,
+                                                        tmp_path, monkeypatch):
+    """A compaction entry interleaving with an append does NOT move the
+    high-water mark, so the append's retry validates clean and commits."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    hwm = tx.high_water_mark_txn(path)
+    snap = tx.snapshot(path)
+    # rival no-op compaction: re-adds the same dirs it removes
+    state = _race_once(monkeypatch, {
+        "op": "compact", "add": {"blocks": snap["blocks"]},
+        "remove": {"blocks": snap["blocks"]},
+        "metrics": {"last_doc": hwm, "n_block_rows": 7, "n_block_groups": 7},
+    }, on_op="append")
+    new = spark.createDataFrame([(8, "la casa rica")], "doc_id long, text string")
+    m = tx.append_batch_txn(spark, path, new, doc_col="doc_id",
+                            auto_compact_after=None)
+    assert state["fired"] and m["n_docs_appended"] == 1
+    idx = tx.load_index_txn(spark, path)
+    assert idx.doclens.filter("doc_id = 8").count() == 1
+    ops = [e["op"] for e in tx.read_log(path)]
+    assert ops == ["init", "compact", "append"]
+
+
+def test_txn_concurrent_compaction_conflict_raises(spark, golden_corpus_df,
+                                                   tmp_path, monkeypatch):
+    """Two compactions racing: the loser's merge is stale (its removed
+    dirs are already gone) — committing it would double-count every
+    block row, so it must raise TxnConflict."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    new = spark.createDataFrame([(8, "la casa")], "doc_id long, text string")
+    tx.append_batch_txn(spark, path, new, doc_col="doc_id", auto_compact_after=None)
+    snap = tx.snapshot(path)
+    state = _race_once(monkeypatch, {
+        "op": "compact", "add": {"blocks": ["data/blocks/compact-rival"]},
+        "remove": {"blocks": snap["blocks"]},
+        "metrics": {"last_doc": 8, "n_block_rows": 9, "n_block_groups": 9},
+    }, on_op="compact")
+    with pytest.raises(tx.TxnConflict, match="concurrent compaction"):
+        tx.compact_index_txn(spark, path)
+    assert state["fired"]
+
+
+def test_txn_vacuum_retention_window_protects_live_staging(spark, golden_corpus_df,
+                                                           tmp_path):
+    """An unreferenced data dir younger than min_age_sec is an in-flight
+    writer's staging, not garbage — vacuum must leave it alone."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    staging = os.path.join(path, tx.DATA_DIR, "postings", "append-live-writer")
+    os.makedirs(staging)
+    assert tx.vacuum_txn(path) == []          # default 24h window
+    assert os.path.isdir(staging)
+    assert tx.vacuum_txn(path, min_age_sec=0) == [
+        "data/postings/append-live-writer"]   # explicit opt-out reclaims

@@ -55,6 +55,11 @@ def main(argv=None):
     c.add_argument("--vacuum", action="store_true",
                    help="(txnlog) also delete data dirs superseded by the "
                         "compaction — only safe with no readers on older snapshots")
+    c.add_argument("--vacuum-min-age", type=float, default=86400.0,
+                   help="(txnlog) retention window in seconds: vacuum only "
+                        "deletes unreferenced dirs untouched this long, so "
+                        "in-flight writers' staging survives (default 24h; "
+                        "0 = reclaim everything unreferenced NOW)")
 
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
@@ -117,7 +122,8 @@ def main(argv=None):
             else:
                 print(f"folded {m['appends_folded']} appends in {m['compact_sec']}s")
             if args.vacuum:
-                print(f"vacuumed {len(vacuum_txn(args.index))} superseded data dirs")
+                n = len(vacuum_txn(args.index, min_age_sec=args.vacuum_min_age))
+                print(f"vacuumed {n} superseded data dirs")
         else:
             from .plans.maintenance import compact_index
 

@@ -42,11 +42,17 @@ Correctness properties (all tested in tests/test_txnlog_backend.py):
   readers away from a mid-swap state; here there is no swap.)
 - **Any crash point is invisible**: data dirs staged under ``data/``
   without a committed log entry are unreachable garbage, reclaimed by
-  ``vacuum``; the log entry itself appears atomically.
+  ``vacuum`` once older than its retention window (the window is what
+  keeps vacuum from eating a LIVE writer's not-yet-committed staging);
+  the log entry itself appears atomically.
 - **Writers serialize optimistically through the log**: the next
   sequence number is claimed by create-if-absent; a loser re-reads the
-  log and retries (appends additionally dedupe on ``batch_id``, so a
-  replayed streaming epoch commits exactly once).
+  log and RE-VALIDATES its preconditions before retrying the publish —
+  appends dedupe on ``batch_id`` (a replayed streaming epoch commits
+  exactly once) and raise :class:`TxnConflict` if a different batch
+  moved the high-water mark their doc ids were assigned against;
+  compactions raise if another compaction already removed a dir they
+  merged; concurrent append+compact commute and both commit.
 - **Compaction is a pure log transaction**: the merged blocks dir is
   added and the fragmented block dirs are removed in ONE entry —
   postings/doclens dirs are untouched (no file moves at all; the
@@ -72,6 +78,17 @@ LOG_DIR = "_txnlog"
 DATA_DIR = "data"
 META = "meta.json"
 _TABLES = ("postings", "doclens", "blocks")
+
+
+class TxnConflict(RuntimeError):
+    """A concurrent writer committed a conflicting change between this
+    operation's snapshot read and its commit attempt (e.g. another
+    append moved the high-water mark our doc ids were assigned against,
+    or another compaction already removed the block dirs we merged).
+    The failed operation left only unreachable data dirs (vacuum
+    reclaims them); the caller should retry the WHOLE operation against
+    a fresh snapshot — same contract as an Iceberg/Delta commit
+    conflict."""
 
 
 # --------------------------------------------------------------- log I/O
@@ -112,17 +129,28 @@ def read_log(index_dir: str) -> list[dict]:
     return out
 
 
-def _commit(index_dir: str, doc: dict, *, max_retries: int = 64) -> int:
+def _commit(index_dir: str, doc: dict, *, validate=None,
+            max_retries: int = 64) -> dict:
     """Append ``doc`` as the next log entry (optimistic): claim
-    len(log)+1, on collision re-read and retry. Returns the committed
-    sequence number."""
+    len(log)+1; on collision re-read and retry. Every retry re-runs
+    ``validate(log)`` against the FRESH log — losing the sequence race
+    means another writer committed something, and "retry the publish"
+    is only sound if that something doesn't conflict with this entry.
+    ``validate`` may raise :class:`TxnConflict` (caller must redo the
+    whole operation) or return a previously committed entry to
+    short-circuit (idempotent replay — the append batch_id dedupe).
+    Returns the committed (or deduped) entry."""
     os.makedirs(os.path.join(index_dir, LOG_DIR), exist_ok=True)
     for _ in range(max_retries):
-        seq = len(read_log(index_dir)) + 1
-        doc["seq"] = seq
+        log = read_log(index_dir)
+        if validate is not None:
+            prior = validate(log)
+            if prior is not None:
+                return prior
+        doc["seq"] = len(log) + 1
         doc["committed_at"] = time.time()
-        if _publish(_log_path(index_dir, seq), doc):
-            return seq
+        if _publish(_log_path(index_dir, doc["seq"]), doc):
+            return doc
     raise RuntimeError(
         f"could not commit to {index_dir}/{LOG_DIR} after {max_retries} "
         "attempts — pathological writer contention"
@@ -195,22 +223,27 @@ def save_index_txn(index: BM25Index, path: str, *,
     n_rows = spark.read.parquet(absd).count()
     brow = index.blocks.agg(
         F.count_distinct("token", "block_id").alias("groups")).collect()[0]
+    def _must_be_first(log):
+        if log:
+            raise TxnConflict(f"{path} already has a committed log")
+
     _commit(path, {
         "op": "init", "add": add,
         "metrics": {"last_doc": int(row[0] or 0),
                     "n_block_rows": int(n_rows),
                     "n_block_groups": int(brow.groups)},
-    })
+    }, validate=_must_be_first)
 
 
-def load_index_txn(spark: SparkSession, path: str) -> BM25Index:
+def load_index_txn(spark: SparkSession, path: str,
+                   log: Optional[list] = None) -> BM25Index:
     """Snapshot-isolated load: folds the log once; the returned frames
     read only the dirs live at THIS snapshot, so concurrent appends,
     compactions, or vacuums of newer garbage never change its results.
     No lock, no recovery step — there is nothing to roll forward."""
     with open(os.path.join(path, META)) as f:
         meta = json.load(f)
-    snap = snapshot(path)
+    snap = snapshot(path, log)
 
     def table(name: str) -> DataFrame:
         dirs = [os.path.join(path, d) for d in snap[name]]
@@ -240,22 +273,23 @@ def load_index_txn(spark: SparkSession, path: str) -> BM25Index:
 
 # ----------------------------------------------------- metadata folds
 
-def high_water_mark_txn(index_dir: str) -> int:
+def high_water_mark_txn(index_dir: str, log: Optional[list] = None) -> int:
     """Max last_doc over the log — no table scan, ever (the field is
     mandatory in this layout, unlike the rename backend's retrofit)."""
     return max(
-        (int(e["metrics"]["last_doc"]) for e in read_log(index_dir)
+        (int(e["metrics"]["last_doc"])
+         for e in (log if log is not None else read_log(index_dir))
          if "last_doc" in e.get("metrics", {})),
         default=0,
     )
 
 
-def fragmentation_estimate_txn(index_dir: str) -> dict:
+def fragmentation_estimate_txn(index_dir: str, log: Optional[list] = None) -> dict:
     """Same fold as plans.maintenance.fragmentation_estimate, from the
     log: init/compact entries reset the base block stats, append
     entries accumulate potential fragments."""
     base_rows = base_groups = append_rows = n_appends = 0
-    for e in read_log(index_dir):
+    for e in (log if log is not None else read_log(index_dir)):
         m = e.get("metrics", {})
         if e["op"] in ("init", "compact"):
             base_rows = int(m.get("n_block_rows", 0))
@@ -298,14 +332,15 @@ def append_batch_txn(
     if batch_id is None:
         batch_id = f"adhoc-{uuid.uuid4().hex[:12]}"
     batch_id = str(batch_id)
-    for e in read_log(index_dir):
+    log0 = read_log(index_dir)
+    for e in log0:
         if e["op"] == "append" and e.get("batch_id") == batch_id:
             return e["metrics"]
 
     t0 = time.time()
-    idx = load_index_txn(spark, index_dir)
+    idx = load_index_txn(spark, index_dir, log0)
     span = int(idx.blocks.select("span").limit(1).collect()[0][0])
-    hwm = high_water_mark_txn(index_dir)
+    hwm = high_water_mark_txn(index_dir, log0)
     postings, n_new, first_doc, last_doc = compute_batch_postings(
         spark, idx, new_docs, doc_col=doc_col, text_col=text_col, hwm=hwm)
 
@@ -332,18 +367,24 @@ def append_batch_txn(
         "span": span,
         "batch_id": batch_id,
     }
-    committed = False
-    while not committed:
-        # optimistic commit; on a seq collision re-check the dedupe key
-        # (a concurrent retry of the SAME epoch may have won)
-        for e in read_log(index_dir):
+    def _dedupe_or_conflict(log):
+        # losing the seq race means ANOTHER entry committed; publishing
+        # again is only sound if it doesn't conflict with this batch
+        for e in log:
             if e["op"] == "append" and e.get("batch_id") == batch_id:
-                return e["metrics"]
-        committed = _publish(
-            _log_path(index_dir, len(read_log(index_dir)) + 1),
-            {"op": "append", "batch_id": batch_id, "add": add,
-             "metrics": metrics, "committed_at": time.time()},
-        )
+                return e  # concurrent retry of the SAME epoch won: dedupe
+        if high_water_mark_txn(index_dir, log) != hwm:
+            raise TxnConflict(
+                f"concurrent append moved the high-water mark past {hwm} "
+                f"while batch {batch_id!r} staged; its doc ids were "
+                "assigned against the stale snapshot — retry the append "
+                "(the staged dirs are unreachable; vacuum reclaims them)")
+        return None  # only compactions interleaved: commute with appends
+
+    entry = _commit(index_dir, {"op": "append", "batch_id": batch_id,
+                                "add": add, "metrics": metrics},
+                    validate=_dedupe_or_conflict)
+    metrics = entry["metrics"]
 
     if auto_compact_after:
         if fragmentation_estimate_txn(index_dir)["n_appends"] >= auto_compact_after:
@@ -380,28 +421,50 @@ def compact_index_txn(spark: SparkSession, index_dir: str) -> dict:
         "appends_folded": est["n_appends"],
         "compact_sec": round(time.time() - t0, 3),
     }
-    committed = False
-    while not committed:
-        committed = _publish(
-            _log_path(index_dir, len(read_log(index_dir)) + 1),
-            {"op": "compact", "add": {"blocks": [rel]},
-             "remove": {"blocks": snap["blocks"]},
-             "metrics": metrics, "committed_at": time.time()},
-        )
+    def _removed_still_live(log):
+        # Iceberg RewriteFiles-style validation: concurrent APPENDS
+        # commute with this rewrite (their block dirs are not in our
+        # remove list and stay live as fragments — the fragmentation
+        # fold under-counts them until the next append, which is fine
+        # for a trigger heuristic); a concurrent COMPACTION does not —
+        # if any dir we merged was already removed, committing would
+        # double-count every block row in a second merged dir.
+        live_blocks = set(snapshot(index_dir, log).get("blocks", []))
+        gone = [d for d in snap["blocks"] if d not in live_blocks]
+        if gone:
+            raise TxnConflict(
+                f"concurrent compaction already removed {gone[:3]}... — "
+                "this merge is stale; retry against a fresh snapshot "
+                "(the staged merged dir is unreachable; vacuum reclaims it)")
+        return None
+
+    _commit(index_dir, {"op": "compact", "add": {"blocks": [rel]},
+                        "remove": {"blocks": snap["blocks"]},
+                        "metrics": metrics},
+            validate=_removed_still_live)
     return metrics
 
 
 # -------------------------------------------------------------- vacuum
 
-def vacuum_txn(index_dir: str) -> list[str]:
+def vacuum_txn(index_dir: str, *, min_age_sec: float = 86400.0) -> list[str]:
     """Delete data dirs no longer referenced by the CURRENT snapshot:
     compaction leftovers and crashed writers' never-committed staging.
-    Run it only when no reader still holds a snapshot older than the
-    last compaction (the Delta/Iceberg retention contract — a retention
-    window would gate this in production). Returns the deleted dirs."""
+
+    An unreferenced dir is NOT necessarily garbage — a live writer's
+    staged-but-not-yet-committed batch looks identical until its log
+    entry publishes. ``min_age_sec`` (default 24 h, the Delta/Iceberg
+    retention-window contract) is what distinguishes them: only dirs
+    untouched for that long are reclaimed, so any writer that stages
+    and commits within the window is safe, as is any reader holding a
+    snapshot younger than the window. Pass ``min_age_sec=0`` only when
+    externally certain no writer is in flight and no reader holds an
+    old snapshot (tests, single-process maintenance). Returns the
+    deleted dirs."""
     import shutil
 
     live = {d for dirs in snapshot(index_dir).values() for d in dirs}
+    cutoff = time.time() - min_age_sec
     deleted = []
     for t in _TABLES:
         tdir = os.path.join(index_dir, DATA_DIR, t)
@@ -409,7 +472,12 @@ def vacuum_txn(index_dir: str) -> list[str]:
             continue
         for name in sorted(os.listdir(tdir)):
             rel = os.path.join(DATA_DIR, t, name)
-            if rel not in live:
-                shutil.rmtree(os.path.join(tdir, name))
+            full = os.path.join(tdir, name)
+            try:
+                young = os.path.getmtime(full) > cutoff
+            except OSError:
+                continue  # concurrently deleted
+            if rel not in live and not young:
+                shutil.rmtree(full)
                 deleted.append(rel)
     return deleted

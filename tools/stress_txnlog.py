@@ -132,7 +132,7 @@ def main():
     assert tx.high_water_mark_txn(INDEX_DIR) == N_DOCS
     idx = tx.load_index_txn(spark, INDEX_DIR)
     assert _wand_rows(idx, qdf) == ref, "killed append leaked into results"
-    ghost_dirs = tx.vacuum_txn(INDEX_DIR)  # reclaim the orphaned staging
+    ghost_dirs = tx.vacuum_txn(INDEX_DIR, min_age_sec=0)  # reclaim the orphaned staging
     assert all("bulk0" in d for d in ghost_dirs), ghost_dirs
 
     # phase 3: retry the SAME batch id — exactly once via log dedupe
@@ -175,7 +175,7 @@ def main():
     # block dirs are untouched (vacuum must not run while it is live)
     assert _wand_rows(old_snapshot_idx, qdf) == snapshot_ref, (
         "snapshot-isolated reader changed across compaction")
-    n_vacuumed = len(tx.vacuum_txn(INDEX_DIR))
+    n_vacuumed = len(tx.vacuum_txn(INDEX_DIR, min_age_sec=0))
 
     idx = tx.load_index_txn(spark, INDEX_DIR)
     t0 = time.time()
