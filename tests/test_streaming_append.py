@@ -466,3 +466,97 @@ def test_manifest_fold_hwm_and_fragmentation(spark, golden_corpus_df, tmp_path):
     new = spark.createDataFrame([("la pera",)], "text string")
     m = append_batch_to_index(spark, path, new, auto_compact_after=None)
     assert m["first_doc"] == 10 and m["last_doc"] == 10
+
+def test_maintenance_lock_is_per_thread_not_per_process(spark, golden_corpus_df,
+                                                        tmp_path):
+    """Reentrancy is thread-scoped: a SECOND driver thread must block on
+    the flock (and time out), never treat the first thread's hold as its
+    own — otherwise two threads could run concurrent mutations under
+    'the' lock."""
+    import threading
+
+    from textsearch_spark.sources.io import maintenance_lock
+
+    path = str(tmp_path / "idx")
+    _base_index(spark, golden_corpus_df, path)
+    outcome = {}
+
+    def second_thread():
+        try:
+            with maintenance_lock(path, timeout=0.5):
+                outcome["entered"] = True
+        except TimeoutError:
+            outcome["timed_out"] = True
+
+    with maintenance_lock(path, timeout=1.0):
+        t = threading.Thread(target=second_thread)
+        t.start()
+        t.join(timeout=10.0)
+    assert outcome == {"timed_out": True}
+    # released: the same second thread can now acquire it
+    outcome.clear()
+    t = threading.Thread(target=second_thread)
+    t.start()
+    t.join(timeout=10.0)
+    assert outcome == {"entered": True}
+
+
+def test_swap_guard_blocks_load_during_rename_window(spark, golden_corpus_df,
+                                                     tmp_path):
+    """A reader's load (shared swap guard) and the compaction swap's
+    rename window (exclusive guard inside finish_compaction) exclude
+    each other — a load never observes a mid-rename table layout; and
+    shared holders do not exclude each other."""
+    import threading
+
+    from textsearch_spark.sources.io import swap_guard
+
+    path = str(tmp_path / "idx")
+    _base_index(spark, golden_corpus_df, path)
+
+    # shared + shared: both enter
+    with swap_guard(path, shared=True):
+        got = {}
+
+        def reader():
+            with swap_guard(path, shared=True, timeout=2.0):
+                got["ok"] = True
+
+        t = threading.Thread(target=reader)
+        t.start()
+        t.join(10.0)
+        assert got == {"ok": True}
+
+        # shared held -> exclusive must wait (times out here)
+        def swapper():
+            try:
+                with swap_guard(path, shared=False, timeout=0.5):
+                    got["swap"] = True
+            except TimeoutError:
+                got["swap_blocked"] = True
+
+        t = threading.Thread(target=swapper)
+        t.start()
+        t.join(10.0)
+        assert got.get("swap_blocked") is True
+
+    # exclusive held -> a reader's load blocks until release
+    new = spark.createDataFrame([(8, "la manzana verde")], "doc_id long, text string")
+    append_batch_to_index(spark, path, new, doc_col="doc_id",
+                          auto_compact_after=None)
+    res = {}
+
+    def load_under_guard():
+        try:
+            idx = load_index(spark, path)
+            res["n"] = idx.doclens.count()
+        except Exception as e:  # noqa: BLE001 — surface to the assert
+            res["err"] = repr(e)
+
+    with swap_guard(path, shared=False):
+        t = threading.Thread(target=load_under_guard)
+        t.start()
+        t.join(timeout=3.0)
+        assert t.is_alive(), "load must wait out the rename window"
+    t.join(timeout=30.0)
+    assert res.get("n") == 8, res

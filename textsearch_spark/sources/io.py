@@ -34,64 +34,111 @@ META = "meta.json"
 APPENDS_DIR = "appends"
 COMPACT_TMP = "_compact_tmp"
 MAINT_LOCK = "_maintenance.lock"
+SWAP_LOCK = "_swap.lock"
 _TABLES = ("blocks", "postings", "doclens")
 
-# index dirs (realpaths) whose maintenance lock THIS process already
-# holds — makes maintenance_lock reentrant (compact_index calls
-# load_index, which takes the lock for committed-swap roll-forward)
-_HELD_LOCKS: set[str] = set()
+# locks THIS THREAD already holds, keyed (index realpath, lock file) ->
+# exclusive?. Thread-local on purpose: reentrancy must be per-thread —
+# a process-global registry would let a second driver thread "reenter"
+# a lock the first thread holds and run a concurrent mutation under it.
+# A second thread instead opens its own fd and blocks in flock (flock
+# treats separately-opened descriptors as independent holders, even in
+# one process).
+import threading as _threading
+
+_LOCAL = _threading.local()
 
 
-def maintenance_lock(index_dir: str, *, timeout: float = 120.0):
-    """Exclusive per-index maintenance lock (flock on
-    ``<index>/_maintenance.lock``).
+def _held() -> dict:
+    if not hasattr(_LOCAL, "locks"):
+        _LOCAL.locks = {}
+    return _LOCAL.locks
 
-    Held by every mutating entry point (append_batch_to_index,
-    compact_index) and by readers for the brief committed-swap
-    roll-forward in load_index — so a reader can never race a live
-    writer's swap (r03 ADVICE item 1). flock is released by the kernel
-    when the holder dies, so a SIGKILLed maintenance job never leaves a
-    stale lock. Reentrant within one process. Scope: one host / a
-    POSIX-shared mount with working flock; multi-host object-store
-    deployments should use the transaction-log backend
-    (sources/txnlog.py), which needs no lock for readers at all."""
+
+def _index_lock(index_dir: str, lockname: str, *, exclusive: bool,
+                timeout: float, what: str):
+    """flock-based per-index lock, reentrant within one THREAD (an
+    exclusive hold satisfies a nested shared request; shared->exclusive
+    upgrades are refused — that ordering would deadlock two upgraders).
+    flock is released by the kernel when the holder dies, so a SIGKILLed
+    job never leaves a stale lock. Scope: one host / a POSIX-shared
+    mount with working flock; multi-host object-store deployments
+    should use the transaction-log backend (sources/txnlog.py), which
+    needs no lock at all for readers."""
     import contextlib
     import fcntl
     import time as _time
 
     @contextlib.contextmanager
     def _lock():
-        key = os.path.realpath(index_dir)
-        if key in _HELD_LOCKS:
+        key = (os.path.realpath(index_dir), lockname)
+        held = _held()
+        if key in held:
+            if exclusive and not held[key]:
+                raise RuntimeError(
+                    f"lock upgrade (shared->exclusive) on {key} is not "
+                    "supported — restructure the caller to take the "
+                    "exclusive lock first")
             yield
             return
-        path = os.path.join(index_dir, MAINT_LOCK)
+        path = os.path.join(index_dir, lockname)
         fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
         try:
+            mode = fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH
             deadline = _time.monotonic() + timeout
             while True:
                 try:
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    fcntl.flock(fd, mode | fcntl.LOCK_NB)
                     break
                 except (BlockingIOError, InterruptedError):
                     if _time.monotonic() >= deadline:
                         raise TimeoutError(
-                            f"maintenance lock busy for {timeout}s: {path} "
-                            "(another maintenance job is running on this index)"
-                        )
+                            f"{what} busy for {timeout}s: {path}")
                     _time.sleep(0.05)
-            os.ftruncate(fd, 0)
-            os.write(fd, json.dumps({"pid": os.getpid()}).encode())
-            _HELD_LOCKS.add(key)
+            if exclusive:
+                os.ftruncate(fd, 0)
+                os.write(fd, json.dumps({"pid": os.getpid()}).encode())
+            held[key] = exclusive
             try:
                 yield
             finally:
-                _HELD_LOCKS.discard(key)
+                del held[key]
                 fcntl.flock(fd, fcntl.LOCK_UN)
         finally:
             os.close(fd)
 
     return _lock()
+
+
+def maintenance_lock(index_dir: str, *, timeout: float = 120.0):
+    """Exclusive per-index maintenance lock (flock on
+    ``<index>/_maintenance.lock``): writer-vs-writer exclusion, held by
+    every mutating entry point (append_batch_to_index, compact_index)
+    for the WHOLE operation. Readers never take it — they take the
+    short-lived :func:`swap_guard` instead (see finish_compaction)."""
+    return _index_lock(index_dir, MAINT_LOCK, exclusive=True,
+                       timeout=timeout, what="maintenance lock")
+
+
+def swap_guard(index_dir: str, *, shared: bool, timeout: float = 120.0):
+    """Second, short-lived lock protecting ONLY the compaction swap's
+    rename window (r03 ADVICE item 1, without making readers wait out
+    whole appends): ``finish_compaction`` holds it EXCLUSIVELY for the
+    few milliseconds of directory renames; ``load_index`` holds it
+    SHARED while resolving table paths, so a load sees the table dirs
+    either fully pre- or fully post-swap, never mid-rename. Readers
+    don't block each other, and never block on the long maintenance
+    lock (staging appends/compactions are invisible to them anyway).
+
+    What this cannot give: isolation for a query EXECUTING after
+    load_index returned — Spark lists parquet files lazily at job time,
+    and a swap between load and execution can still move them. That is
+    inherent to a rename-based layout; deployments with concurrent
+    queries and compactions belong on the transaction-log backend
+    (sources/txnlog.py), whose readers are snapshot-isolated."""
+    return _index_lock(index_dir, SWAP_LOCK, exclusive=not shared,
+                       timeout=timeout,
+                       what="compaction swap guard")
 
 
 def append_manifest_path(index_dir: str, batch_id) -> str:
@@ -181,13 +228,28 @@ def finish_compaction(index_dir: str, *, destructive: bool = False) -> None:
     writer is live) may delete it: ``destructive=True``. Readers
     (load_index) call with the default ``destructive=False`` and only
     roll FORWARD a committed swap, never delete an uncommitted tmp
-    (r03 ADVICE item 1). Callers must hold ``maintenance_lock`` —
-    concurrent roll-forwards would race the renames."""
+    (r03 ADVICE item 1).
+
+    The rename window runs under the EXCLUSIVE :func:`swap_guard`:
+    concurrent roll-forwards (two readers racing a crashed writer's
+    committed swap, or a reader racing the live writer's own finish)
+    serialize on it, and loads holding the SHARED guard never observe a
+    mid-rename state."""
     import shutil
 
     tmp = os.path.join(index_dir, COMPACT_TMP)
     if not os.path.isdir(tmp):
         return
+    with swap_guard(index_dir, shared=False):
+        _finish_compaction_under_guard(index_dir, destructive=destructive)
+
+
+def _finish_compaction_under_guard(index_dir: str, *, destructive: bool) -> None:
+    import shutil
+
+    tmp = os.path.join(index_dir, COMPACT_TMP)
+    if not os.path.isdir(tmp):
+        return  # another roll-forward won while we waited for the guard
     commit_p = os.path.join(tmp, "COMMIT.json")
     if not os.path.exists(commit_p):
         if destructive:
@@ -307,49 +369,54 @@ def save_index(index: BM25Index, path: str, *, postings_partitions: int | None =
 
 def load_index(spark: SparkSession, path: str) -> BM25Index:
     # roll forward any committed-but-unswapped compaction before
-    # reading, so a crash mid-swap is invisible to readers. Taken under
-    # the maintenance lock so a reader never races a live writer's
-    # swap; an UNCOMMITTED tmp is left untouched (it may be a live
-    # writer's staging — finish_compaction(destructive=False) skips it)
+    # reading, so a crash mid-swap is invisible to readers (the rename
+    # window inside finish_compaction serializes on the exclusive swap
+    # guard); an UNCOMMITTED tmp is left untouched — it may be a live
+    # writer's staging (finish_compaction(destructive=False) skips it)
     if os.path.exists(os.path.join(path, COMPACT_TMP, "COMMIT.json")):
-        with maintenance_lock(path):
-            finish_compaction(path)
-    # drop any stale cached file listings from a previous load of the
-    # same path (tables may have been overwritten by a rebuild); the
-    # logical postings/doclens/blocks tables are base UNION committed
-    # appends (read_table)
-    vocab_p = os.path.join(path, "vocab")
-    if os.path.isdir(vocab_p):
-        spark.catalog.refreshByPath(vocab_p)
-    with open(os.path.join(path, META)) as f:
-        meta = json.load(f)
-    cfg = TextConfig.from_json(json.dumps(meta["textconfig"]))
-    bm25 = FoldedBM25.from_json(json.dumps(meta["bm25"]))
-    params = BM25Params(**meta["params"])
-    blocks_path = os.path.join(path, "blocks")
-    blocks = read_table(spark, path, "blocks") if os.path.isdir(blocks_path) else None
-    if blocks is not None:
-        from ..operators.postings import validate_blocks_schema
+        finish_compaction(path)
+    # resolve the table paths under the SHARED swap guard so this load
+    # never observes a concurrent writer mid-rename — it sees the dirs
+    # either fully pre- or fully post-swap. (Jobs executed later against
+    # the returned frames re-list files lazily and are NOT covered;
+    # concurrent query+compaction deployments belong on sources/txnlog.)
+    with swap_guard(path, shared=True):
+        # drop any stale cached file listings from a previous load of
+        # the same path (tables may have been overwritten by a rebuild);
+        # the logical postings/doclens/blocks tables are base UNION
+        # committed appends (read_table)
+        vocab_p = os.path.join(path, "vocab")
+        if os.path.isdir(vocab_p):
+            spark.catalog.refreshByPath(vocab_p)
+        with open(os.path.join(path, META)) as f:
+            meta = json.load(f)
+        cfg = TextConfig.from_json(json.dumps(meta["textconfig"]))
+        bm25 = FoldedBM25.from_json(json.dumps(meta["bm25"]))
+        params = BM25Params(**meta["params"])
+        blocks_path = os.path.join(path, "blocks")
+        blocks = read_table(spark, path, "blocks") if os.path.isdir(blocks_path) else None
+        if blocks is not None:
+            from ..operators.postings import validate_blocks_schema
 
-        validate_blocks_schema(blocks, where=f"blocks at {blocks_path}")
-    qgrams_p = os.path.join(path, "qgrams")
-    if os.path.isdir(qgrams_p):
-        spark.catalog.refreshByPath(qgrams_p)
-        qgrams = spark.read.parquet(qgrams_p)
-    else:
-        qgrams = None  # pre-r04 index: typo lookups fall back to inline build
-    return BM25Index(
-        cfg=cfg,
-        params=params,
-        bm25=bm25,
-        vocab=spark.read.parquet(vocab_p),
-        postings=read_table(spark, path, "postings"),
-        doclens=read_table(spark, path, "doclens"),
-        n_docs=meta["n_docs"],
-        avgdl=meta["avgdl"],
-        blocks=blocks,
-        qgrams=qgrams,
-    )
+            validate_blocks_schema(blocks, where=f"blocks at {blocks_path}")
+        qgrams_p = os.path.join(path, "qgrams")
+        if os.path.isdir(qgrams_p):
+            spark.catalog.refreshByPath(qgrams_p)
+            qgrams = spark.read.parquet(qgrams_p)
+        else:
+            qgrams = None  # pre-r04 index: typo lookups rebuild inline
+        return BM25Index(
+            cfg=cfg,
+            params=params,
+            bm25=bm25,
+            vocab=spark.read.parquet(vocab_p),
+            postings=read_table(spark, path, "postings"),
+            doclens=read_table(spark, path, "doclens"),
+            n_docs=meta["n_docs"],
+            avgdl=meta["avgdl"],
+            blocks=blocks,
+            qgrams=qgrams,
+        )
 
 
 def save_model(model, path: str) -> None:
