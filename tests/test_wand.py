@@ -183,6 +183,14 @@ def test_wand_chunked_incremental_write(spark, zipf_index, tmp_path):
         "incremental-write plan size must be flat in chunk count")
     assert "Union" not in plan_many
 
+    # the call OWNS output_path: a rerun into the same path (retry after
+    # a mid-loop failure, or over a stale previous result) must replace
+    # it, not append duplicate (query_id, rank) rows
+    res_rerun = search_bm25_wand_chunked(idx, qdf, k=5, chunk_size=7,
+                                         output_path=out_many)
+    _assert_rank_identical(whole, res_rerun.collect())
+    assert res_rerun.count() == len(whole)
+
 
 def test_wand_accept_veto_differential(spark, zipf_index):
     """The accept_posting_list veto (list-length bounds) must agree

@@ -406,7 +406,7 @@ def search_bm25_wand_chunked(
     combined result is differential-identical to the unchunked call
     (tests/test_wand.py).
 
-    The queries frame is pinned (localCheckpoint / cache) BEFORE
+    The queries frame is pinned (localCheckpoint, both branches) BEFORE
     counting and chunking: the chunk loop re-evaluates it once per
     chunk, and a non-deterministic input (sample(), unordered limit(),
     rand-derived ids) would otherwise drop or duplicate queries across
@@ -419,7 +419,10 @@ def search_bm25_wand_chunked(
     appended to the parquet table as soon as it is computed — each
     chunk's broadcast is released after its write, and the returned
     frame is a plain scan of the output table, so driver planning
-    stays O(1) in chunk count. That is the 10^8-query shape."""
+    stays O(1) in chunk count. That is the 10^8-query shape. The call
+    OWNS ``output_path``: chunk 0 writes with mode("overwrite"), so a
+    rerun after a mid-loop failure (or over a stale previous result)
+    starts clean instead of appending duplicate rows."""
     spark = index.spark
     if output_path is None:
         # pin chunk membership across the per-chunk re-evaluations
@@ -438,16 +441,18 @@ def search_bm25_wand_chunked(
             out = out.unionByName(p)
         return out
 
-    queries = queries.persist()
-    try:
-        n = queries.select(id_col).distinct().count()
-        n_chunks = max(1, -(-n // chunk_size))
-        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
-        for i in range(n_chunks):
-            sub = queries.filter(bucket == i) if n_chunks > 1 else queries
-            res = search_bm25_wand(index, sub, k, id_col=id_col, **kwargs)
-            res.write.mode("append").parquet(output_path)
-    finally:
-        queries.unpersist()
+    # localCheckpoint, not persist(): a persisted partition lost to an
+    # executor failure is silently RECOMPUTED from lineage, and a
+    # non-deterministic source would re-deal queries across chunks
+    # mid-loop; a checkpoint truncates lineage so chunk membership is
+    # genuinely pinned (same pin as the union branch)
+    queries = queries.localCheckpoint(eager=True)
+    n = queries.select(id_col).distinct().count()
+    n_chunks = max(1, -(-n // chunk_size))
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+    for i in range(n_chunks):
+        sub = queries.filter(bucket == i) if n_chunks > 1 else queries
+        res = search_bm25_wand(index, sub, k, id_col=id_col, **kwargs)
+        res.write.mode("overwrite" if i == 0 else "append").parquet(output_path)
     spark.catalog.refreshByPath(output_path)
     return spark.read.parquet(output_path)
