@@ -122,20 +122,33 @@ def test_near_dup_chunked_gram_matches_unchunked(spark, monkeypatch):
     assert chunked == full
 
 
-def test_near_dup_bucket_cap_raises(spark):
-    """A bucket exceeding max_bucket_rows must fail loudly with the fix
-    named, not grind one executor through a quadratic bucket."""
-    n, dim = 30, 16
+def test_near_dup_bucket_skew_guard(spark):
+    """The guard fires only on SKEW — a bucket both over the cap and
+    >8x the all-bucket mean (correlated embeddings collapsed into one
+    bucket) — and fails fast driver-side, before the quadratic kernel
+    launches. A uniformly large corpus whose buckets all exceed the cap
+    is legitimate work and must NOT raise."""
+    dim = 16
     rng = np.random.default_rng(5)
+
+    # skewed: every vector is a perturbation of one base -> one bucket
+    # of 30 rows; with 2^4 = 16 buckets the all-bucket mean is 1.875,
+    # so 30 > cap AND 30 > 8 x mean -> raise, at call time
+    n = 30
     v = rng.normal(size=dim)
-    mat = np.vstack([v + 1e-4 * rng.normal(size=dim) for _ in range(n)])  # one bucket
+    mat = np.vstack([v + 1e-4 * rng.normal(size=dim) for _ in range(n)])
     emb = spark.createDataFrame(
         [(i, [float(x) for x in mat[i]]) for i in range(n)],
         "vec_id long, embedding array<double>",
     )
-    df = lsh_near_dup_pairs(emb, 0.5, n_planes=2, dim=dim, max_bucket_rows=8)
     with pytest.raises(Exception, match="max_bucket_rows"):
-        df.collect()
+        lsh_near_dup_pairs(emb, 0.5, n_planes=4, dim=dim, max_bucket_rows=8)
+
+    # uniform: random vectors over 2^2 = 4 buckets, every bucket ~15
+    # rows > cap=4 but none skewed -> runs to completion
+    emb_u, _ = _rand_emb(spark, 60, dim, seed=7)
+    df = lsh_near_dup_pairs(emb_u, 0.99, n_planes=2, dim=dim, max_bucket_rows=4)
+    df.collect()  # must not raise
 
 
 def test_no_cached_frame_leaks(spark):
@@ -155,3 +168,20 @@ def test_no_cached_frame_leaks(spark):
         ngram_jaccard_pairs(docs, shingle_n=2, threshold=0.3, max_df_ratio=0.5).collect()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after == before, f"cached frames leaked: {before} -> {after}"
+
+def test_query_broadcast_stores_each_vector_once(spark):
+    """nprobe>1 puts the same query in several probe lists; the
+    broadcast must hold its vector ONCE with per-key row indices, not a
+    copy per probed list (at 65536 queries x dim 4096 x nprobe 4 the
+    per-key packing is ~8.6 GB vs ~2.1 GB)."""
+    v0 = np.arange(4, dtype=np.float64)
+    v1 = np.arange(4, dtype=np.float64) + 1.0
+    probes = {0: [(10, v0), (11, v1)], 1: [(10, v0)], 2: [(11, v1), (10, v0)]}
+    bq = ss._query_broadcast(spark, probes)
+    ids, mat, norms, key_rows = bq.value
+    assert mat.shape == (2, 4), "5 probe entries but only 2 distinct queries"
+    assert len(ids) == len(norms) == 2
+    for key, lst in probes.items():
+        rows = key_rows[key]
+        assert [int(ids[r]) for r in rows] == [q for q, _ in lst]
+        np.testing.assert_allclose(mat[rows], np.vstack([v for _, v in lst]))

@@ -169,8 +169,10 @@ def _list_topk_kernel(bq, key_col: str, k: int, id_col: str, vec_col: str):
     """applyInPandas kernel scoring ONE inverted list / LSH bucket
     against every query probing it (r03 verdict item 2).
 
-    ``bq`` is a Spark broadcast of {list key: (query_id array, query
-    matrix, query norms)} — the query batch ships ONCE per executor.
+    ``bq`` is a Spark broadcast of (query ids, query matrix, query
+    norms, {list key: row indices}) — the query batch ships ONCE per
+    executor, and each query VECTOR is stored once however many lists
+    it probes (see _query_broadcast).
     The previous plan attached the full query vector to every candidate
     row before a per-pair UDF: at dim 4096 that is 32 KB of duplicated
     qvec payload per candidate through the exchange (~32 GB for a query
@@ -188,10 +190,11 @@ def _list_topk_kernel(bq, key_col: str, k: int, id_col: str, vec_col: str):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return empty
-        entry = bq.value.get(pdf[key_col].iloc[0])
-        if entry is None:
+        all_ids, all_mat, all_norms, key_rows = bq.value
+        rows = key_rows.get(pdf[key_col].iloc[0])
+        if rows is None:
             return empty
-        q_ids, q_mat, q_norms = entry
+        q_ids, q_mat, q_norms = all_ids[rows], all_mat[rows], all_norms[rows]
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = _to_matrix(pdf[vec_col])
         norms = np.linalg.norm(mat, axis=1)
@@ -216,13 +219,34 @@ def _list_topk_kernel(bq, key_col: str, k: int, id_col: str, vec_col: str):
 
 
 def _query_broadcast(spark, probes: dict):
-    """{key: [(qid, vec), ...]} -> broadcast {key: (ids, matrix, norms)}."""
-    packed = {}
+    """{key: [(qid, vec), ...]} -> broadcast
+    (ids, matrix, norms, {key: row-index array}).
+
+    Every query VECTOR is stored exactly once, however many keys it
+    probes; per-key membership is an int64 row-index array. A per-key
+    copy of the vectors (the obvious packing) would inflate the
+    broadcast by the probe fan-out — at the permitted 65536-query batch,
+    dim 4096, nprobe 4 that is ~8.6 GB pickled instead of ~2.1 GB, held
+    by the driver AND every executor."""
+    qid_to_row: dict = {}
+    ids: list = []
+    vecs: list = []
+    key_rows = {}
     for key, lst in probes.items():
-        ids = np.array([q for q, _ in lst], dtype=np.int64)
-        mat = np.array([v for _, v in lst], dtype=np.float64)
-        packed[key] = (ids, mat, np.linalg.norm(mat, axis=1))
-    return spark.sparkContext.broadcast(packed)
+        rows = np.empty(len(lst), dtype=np.int64)
+        for j, (q, v) in enumerate(lst):
+            r = qid_to_row.get(q)
+            if r is None:
+                r = len(ids)
+                qid_to_row[q] = r
+                ids.append(q)
+                vecs.append(v)
+            rows[j] = r
+        key_rows[key] = rows
+    mat = np.array(vecs, dtype=np.float64) if vecs else np.empty((0, 0))
+    ids_arr = np.array(ids, dtype=np.int64)
+    norms = np.linalg.norm(mat, axis=1) if len(vecs) else np.empty(0)
+    return spark.sparkContext.broadcast((ids_arr, mat, norms, key_rows))
 
 
 # lsh_near_dup_pairs' Gram matmul is chunked so one task never holds an
@@ -251,10 +275,18 @@ def lsh_near_dup_pairs(
     out per chunk, so peak task memory is (chunk x n) doubles
     (~64 MB), never the full n x n (r03 ADVICE: with correlated
     embeddings one bucket can absorb most of the corpus; n/2^planes
-    only bounds the uniform case). ``max_bucket_rows`` is the skew
-    guard: a bucket larger than it raises with the fix (more planes)
-    instead of grinding one executor through a near-quadratic bucket;
-    None disables."""
+    only bounds the uniform case).
+
+    ``max_bucket_rows`` is the SKEW guard, checked driver-side before
+    the quadratic kernel launches: it raises only when the largest
+    bucket both exceeds the cap AND is >8x the mean bucket size — i.e.
+    correlated embeddings collapsed into one bucket, where one straggler
+    task would grind through a near-quadratic bucket alone. A uniformly
+    large corpus (every bucket near the mean) is NOT an error: its
+    pairwise work is what the caller asked for, memory stays
+    chunk-bounded, and the cure for too much of it is more planes, not
+    a failed job. None disables the check (and its one counting pass
+    over the bucketed frame)."""
 
     empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                           "vec_b": pd.Series([], dtype="int64"),
@@ -264,13 +296,6 @@ def lsh_near_dup_pairs(
         n = len(pdf)
         if n < 2:
             return empty
-        if max_bucket_rows is not None and n > max_bucket_rows:
-            raise ValueError(
-                f"LSH bucket {pdf['bucket'].iloc[0]!r} holds {n} rows "
-                f"(> max_bucket_rows={max_bucket_rows}): correlated embeddings "
-                "collapsed into one bucket — raise n_planes (halves expected "
-                "bucket size per plane) or raise max_bucket_rows explicitly"
-            )
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = _to_matrix(pdf[vec_col])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -295,9 +320,27 @@ def lsh_near_dup_pairs(
         return pd.concat(outs, ignore_index=True) if outs else empty
 
     b = with_lsh_bucket(embeddings, n_planes, dim, vec_col=vec_col)
+    sel = b.select(id_col, vec_col, "bucket")
+    if max_bucket_rows is not None:
+        stats = (sel.groupBy("bucket").count()
+                 .agg(F.max("count").alias("mx"),
+                      F.sum("count").alias("total")).collect()[0])
+        mx = int(stats.mx or 0)
+        # mean over ALL 2^n_planes buckets, empty included — collapsed
+        # embeddings show up precisely as many empty buckets (same rule
+        # as ivf_cosine_topk's check_skew)
+        mean = float(stats.total or 0) / float(2 ** n_planes)
+        if mx > max_bucket_rows and mx > 8.0 * mean:
+            raise ValueError(
+                f"LSH bucket skew: largest bucket holds {mx} rows "
+                f"(> max_bucket_rows={max_bucket_rows} and > 8x the "
+                f"all-bucket mean {mean:.1f}): correlated embeddings "
+                "collapsed into one bucket — raise n_planes (halves "
+                "expected bucket size per plane), or raise/disable "
+                "max_bucket_rows explicitly"
+            )
     return (
-        b.select(id_col, vec_col, "bucket")
-        .groupBy("bucket")
+        sel.groupBy("bucket")
         .applyInPandas(kernel, "vec_a long, vec_b long, cos double")
     )
 
@@ -525,7 +568,7 @@ def ivf_cosine_topk(
 
     # query probe lists: nprobe nearest centroids by the same L2 rule.
     # The probe relation stays driver-side and becomes ONE broadcast
-    # {centroid_id: (query ids, query matrix, norms)} read inside the
+    # (ids, matrix, norms, {centroid_id: row indices}) read inside the
     # per-list kernel — no query vector ever rides a candidate row
     # (r03 verdict item 2; at dim 4096 the old qvec-per-candidate join
     # shipped 32 KB per candidate through the exchange).
