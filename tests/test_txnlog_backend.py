@@ -290,3 +290,84 @@ def test_txn_vacuum_retention_window_protects_live_staging(spark, golden_corpus_
     assert os.path.isdir(staging)
     assert tx.vacuum_txn(path, min_age_sec=0) == [
         "data/postings/append-live-writer"]   # explicit opt-out reclaims
+
+_CONCURRENT_WRITER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from textsearch_spark.sources import txnlog as tx
+
+path, tag, barrier = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false")
+         .appName(f"txn-writer-{{tag}}").getOrCreate())
+docs = spark.createDataFrame(
+    [(f"texto nuevo {{tag}} uno la casa",), (f"texto nuevo {{tag}} dos la pera",)],
+    "text string")
+# barrier: both writers wait for the flag file so their append windows
+# genuinely overlap (session startup jitter would otherwise serialize)
+while not os.path.exists(barrier):
+    time.sleep(0.02)
+conflicts = 0
+for attempt in range(6):
+    try:
+        m = tx.append_batch_txn(spark, path, docs, batch_id=f"{{tag}}-{{attempt}}",
+                                auto_compact_after=None)
+        print(f"COMMITTED {{tag}} attempt={{attempt}} conflicts={{conflicts}} "
+              f"first={{m['first_doc']}} last={{m['last_doc']}}", flush=True)
+        break
+    except tx.TxnConflict:
+        conflicts += 1
+else:
+    print(f"GAVE-UP {{tag}}", flush=True)
+    sys.exit(3)
+spark.stop()
+"""
+
+
+def test_txn_two_process_concurrent_appends(spark, golden_corpus_df, tmp_path):
+    """Two real OS processes append DIFFERENT batches to the same index
+    with overlapping windows (file barrier). Allowed outcomes per
+    writer: commit first try (it won) or TxnConflict then commit on a
+    retry against the fresh snapshot. Never: both committing against
+    the same high-water mark. End state: base + 4 docs, no duplicate
+    doc ids, naive == WAND."""
+    import subprocess
+    import sys as _sys
+
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    barrier = str(tmp_path / "go")
+    script = _CONCURRENT_WRITER.format(repo=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen([_sys.executable, "-c", script, path, tag, barrier],
+                         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                         text=True)
+        for tag in ("wa", "wb")
+    ]
+    with open(barrier, "w") as f:
+        f.write("go")
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert all("COMMITTED" in o for o in outs), outs
+
+    idx = tx.load_index_txn(spark, path)
+    doc_ids = [r.doc_id for r in idx.doclens.select("doc_id").collect()]
+    assert len(doc_ids) == 11 and len(set(doc_ids)) == 11, sorted(doc_ids)
+    assert tx.high_water_mark_txn(path) == 11
+    appends = [e for e in tx.read_log(path) if e["op"] == "append"]
+    assert len(appends) == 2
+    # ids must partition cleanly: 8-9 to one winner, 10-11 to the other
+    spans = sorted((e["metrics"]["first_doc"], e["metrics"]["last_doc"])
+                   for e in appends)
+    assert spans == [(8, 9), (10, 11)], spans
+
+    q = spark.createDataFrame([(0, "texto nuevo la casa")],
+                              "query_id long, qtext string")
+    naive = sorted((r.rank, r.doc_id, round(r.score, 10))
+                   for r in search_bm25(idx, q, 8).collect())
+    wand = sorted((r.rank, r.doc_id, round(r.score, 10))
+                  for r in search_bm25_wand(idx, q, 8, n_buckets=2).collect())
+    assert naive == wand and naive
