@@ -371,3 +371,85 @@ def test_txn_two_process_concurrent_appends(spark, golden_corpus_df, tmp_path):
     wand = sorted((r.rank, r.doc_id, round(r.score, 10))
                   for r in search_bm25_wand(idx, q, 8, n_buckets=2).collect())
     assert naive == wand and naive
+
+def test_txn_log_checkpoint_and_vacuum(spark, golden_corpus_df, tmp_path):
+    """A checkpoint entry folds the complete log state: every fold
+    (snapshot, high-water mark, fragmentation, batch dedupe) must be
+    identical before and after, search results unchanged, the
+    superseded log prefix prunable, and the lifecycle must continue on
+    top (append after checkpoint; second checkpoint folds both)."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    for i, t in enumerate(["la manzana verde", "la hoja roja"]):
+        new = spark.createDataFrame([(8 + i, t)], "doc_id long, text string")
+        tx.append_batch_txn(spark, path, new, doc_col="doc_id", batch_id=i,
+                            auto_compact_after=None)
+    tx.compact_index_txn(spark, path)
+    new = spark.createDataFrame([(10, "la pera rica")], "doc_id long, text string")
+    tx.append_batch_txn(spark, path, new, doc_col="doc_id", batch_id="post",
+                        auto_compact_after=None)
+
+    q = spark.createDataFrame([(0, "la manzana pera")], "query_id long, qtext string")
+
+    def state():
+        return (tx.snapshot(path), tx.high_water_mark_txn(path),
+                tx.fragmentation_estimate_txn(path))
+
+    def results():
+        return sorted((r.rank, r.doc_id, round(r.score, 10))
+                      for r in search_bm25_wand(tx.load_index_txn(spark, path),
+                                                q, 8, n_buckets=2).collect())
+
+    before_state, before_res = state(), results()
+    cp = tx.checkpoint_txn(path)
+    assert cp["op"] == "checkpoint" and cp["metrics"]["last_doc"] == 10
+    assert state() == before_state
+    assert results() == before_res
+
+    # prune the superseded prefix (init + 2 appends + compact + append)
+    pruned = tx.vacuum_log_txn(path, min_age_sec=0)
+    assert len(pruned) == 5
+    remaining_ops = [e["op"] for e in tx.read_log(path)]
+    assert remaining_ops == ["checkpoint"]
+    assert state() == before_state
+    assert results() == before_res
+
+    # exactly-once dedupe survives the pruned prefix: the replayed
+    # batch resolves from the checkpoint's carried history
+    m = tx.append_batch_txn(spark, path, new, doc_col="doc_id",
+                            batch_id="post", auto_compact_after=None)
+    assert m["n_docs_appended"] == 1  # recorded metrics, no re-append
+    assert tx.load_index_txn(spark, path).doclens.filter(
+        "doc_id = 10").count() == 1
+
+    # lifecycle continues on top: append, then a second checkpoint
+    new2 = spark.createDataFrame([(11, "la casa rica")], "doc_id long, text string")
+    tx.append_batch_txn(spark, path, new2, doc_col="doc_id", batch_id="p2",
+                        auto_compact_after=None)
+    assert tx.high_water_mark_txn(path) == 11
+    tx.checkpoint_txn(path)
+    tx.vacuum_log_txn(path, min_age_sec=0)
+    assert [e["op"] for e in tx.read_log(path)] == ["checkpoint"]
+    idx = tx.load_index_txn(spark, path)
+    assert idx.doclens.count() == 11
+    # both batch histories carried forward
+    assert tx._find_append(tx.read_log(path), "post") is not None
+    assert tx._find_append(tx.read_log(path), "p2") is not None
+
+
+def test_txn_checkpoint_refolds_on_interleaved_commit(spark, golden_corpus_df,
+                                                      tmp_path, monkeypatch):
+    """An entry landing between the checkpoint's fold and its publish
+    must NOT be erased: the stale summary is discarded and the fold
+    re-runs, so the committed checkpoint includes the rival's effect."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    state = _race_once(monkeypatch, {
+        "op": "append", "batch_id": "rival", "add": {},
+        "metrics": {"last_doc": 42, "n_block_rows": 3},
+    }, on_op="checkpoint")
+    cp = tx.checkpoint_txn(path)
+    assert state["fired"]
+    assert cp["metrics"]["last_doc"] == 42  # refolded over the rival
+    assert "rival" in cp["append_metrics"]
+    assert cp["metrics"]["n_appends"] == 1

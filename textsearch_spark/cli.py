@@ -60,6 +60,13 @@ def main(argv=None):
                         "deletes unreferenced dirs untouched this long, so "
                         "in-flight writers' staging survives (default 24h; "
                         "0 = reclaim everything unreferenced NOW)")
+    c.add_argument("--checkpoint", action="store_true",
+                   help="(txnlog) also write a log checkpoint after the "
+                        "compaction (folds become O(entries since it); the "
+                        "older log prefix becomes prunable)")
+    c.add_argument("--vacuum-log", action="store_true",
+                   help="(txnlog) also prune log entries superseded by the "
+                        "last checkpoint and older than --vacuum-min-age")
 
     s = sub.add_parser("search", help="top-k BM25 search")
     s.add_argument("--index", required=True)
@@ -121,9 +128,20 @@ def main(argv=None):
                 print("nothing to compact")
             else:
                 print(f"folded {m['appends_folded']} appends in {m['compact_sec']}s")
+            if args.checkpoint:
+                from .sources.txnlog import checkpoint_txn
+
+                e = checkpoint_txn(args.index)
+                print(f"log checkpoint committed at seq {e['seq']}")
             if args.vacuum:
                 n = len(vacuum_txn(args.index, min_age_sec=args.vacuum_min_age))
                 print(f"vacuumed {n} superseded data dirs")
+            if args.vacuum_log:
+                from .sources.txnlog import vacuum_log_txn
+
+                n = len(vacuum_log_txn(args.index,
+                                       min_age_sec=args.vacuum_min_age))
+                print(f"pruned {n} checkpointed log entries")
         else:
             from .plans.maintenance import compact_index
 

@@ -58,6 +58,12 @@ Correctness properties (all tested in tests/test_txnlog_backend.py):
   postings/doclens dirs are untouched (no file moves at all; the
   rename backend had to physically relocate append part-files).
   Superseded dirs stay on disk for older readers until ``vacuum``.
+- **The log itself is checkpointable** (``checkpoint_txn``): one entry
+  folds the complete state (live dirs, counters, append batch-id
+  histories), after which reads fold O(entries since the checkpoint)
+  and ``vacuum_log_txn`` prunes the superseded prefix — the log never
+  becomes the metadata bottleneck at 10^6+ appends (Delta
+  ``_last_checkpoint`` / Iceberg snapshot-manifest role).
 """
 
 from __future__ import annotations
@@ -117,15 +123,23 @@ def _publish(path: str, doc: dict) -> bool:
 
 
 def read_log(index_dir: str) -> list[dict]:
-    """Committed entries in sequence order. Tolerates a sparse listing
-    re-check: entries are dense by construction (seq N+1 is only ever
-    claimed after N exists)."""
+    """Committed entries in sequence order. The sequence may have a
+    truncated PREFIX (``vacuum_log_txn`` deletes entries superseded by
+    a checkpoint) but never holds — seq N+1 is only ever claimed after
+    N exists. Tolerates entries deleted between listing and open (a
+    concurrent log vacuum); backfills ``seq`` from the filename so
+    ordering never depends on the entry body."""
     import glob
 
     out = []
     for p in sorted(glob.glob(os.path.join(index_dir, LOG_DIR, "*.json"))):
-        with open(p) as f:
-            out.append(json.load(f))
+        try:
+            with open(p) as f:
+                e = json.load(f)
+        except FileNotFoundError:
+            continue  # pruned by a concurrent vacuum_log_txn
+        e.setdefault("seq", int(os.path.basename(p).split(".")[0]))
+        out.append(e)
     return out
 
 
@@ -147,7 +161,9 @@ def _commit(index_dir: str, doc: dict, *, validate=None,
             prior = validate(log)
             if prior is not None:
                 return prior
-        doc["seq"] = len(log) + 1
+        # max seq + 1, NOT len(log) + 1: the prefix may be truncated by
+        # a log vacuum, and lengths would then re-claim taken numbers
+        doc["seq"] = (log[-1]["seq"] + 1) if log else 1
         doc["committed_at"] = time.time()
         if _publish(_log_path(index_dir, doc["seq"]), doc):
             return doc
@@ -158,9 +174,17 @@ def _commit(index_dir: str, doc: dict, *, validate=None,
 
 
 def snapshot(index_dir: str, log: Optional[list] = None) -> dict[str, list[str]]:
-    """Fold the log: {table: [live data dirs, in add order]}."""
+    """Fold the log: {table: [live data dirs, in add order]}. A
+    ``checkpoint`` entry REPLACES the folded state with its stored
+    snapshot (it summarizes every earlier entry), so the fold is
+    O(entries since the last checkpoint) once one exists."""
     live: dict[str, list[str]] = {t: [] for t in _TABLES}
     for e in log if log is not None else read_log(index_dir):
+        if e.get("op") == "checkpoint":
+            live = {t: list(dirs) for t, dirs in e["snapshot"].items()}
+            for t in _TABLES:
+                live.setdefault(t, [])
+            continue
         for t, dirs in e.get("add", {}).items():
             live.setdefault(t, []).extend(dirs)
         for t, dirs in e.get("remove", {}).items():
@@ -298,6 +322,11 @@ def fragmentation_estimate_txn(index_dir: str, log: Optional[list] = None) -> di
         elif e["op"] == "append":
             append_rows += int(m.get("n_block_rows", 0))
             n_appends += 1
+        elif e["op"] == "checkpoint":
+            base_rows = int(m.get("n_block_rows", 0))
+            base_groups = int(m.get("n_block_groups", base_rows))
+            append_rows = int(m.get("append_block_rows", 0))
+            n_appends = int(m.get("n_appends", 0))
     return {
         "n_appends": n_appends,
         "base_block_rows": base_rows,
@@ -305,6 +334,21 @@ def fragmentation_estimate_txn(index_dir: str, log: Optional[list] = None) -> di
         "append_block_rows": append_rows,
         "fragment_extra_rows_max": base_rows - base_groups + append_rows,
     }
+
+
+def _find_append(log: list, batch_id: str) -> Optional[dict]:
+    """Committed metrics for ``batch_id``, or None. Checkpoint entries
+    carry the append histories of the entries they summarize, so the
+    dedupe guarantee survives log vacuuming."""
+    found = None
+    for e in log:
+        if e["op"] == "append" and e.get("batch_id") == batch_id:
+            found = e["metrics"]
+        elif e["op"] == "checkpoint":
+            m = e.get("append_metrics", {}).get(batch_id)
+            if m is not None:
+                found = m
+    return found
 
 
 # ------------------------------------------------------------- append
@@ -333,9 +377,9 @@ def append_batch_txn(
         batch_id = f"adhoc-{uuid.uuid4().hex[:12]}"
     batch_id = str(batch_id)
     log0 = read_log(index_dir)
-    for e in log0:
-        if e["op"] == "append" and e.get("batch_id") == batch_id:
-            return e["metrics"]
+    prior = _find_append(log0, batch_id)
+    if prior is not None:
+        return prior
 
     t0 = time.time()
     idx = load_index_txn(spark, index_dir, log0)
@@ -370,9 +414,9 @@ def append_batch_txn(
     def _dedupe_or_conflict(log):
         # losing the seq race means ANOTHER entry committed; publishing
         # again is only sound if it doesn't conflict with this batch
-        for e in log:
-            if e["op"] == "append" and e.get("batch_id") == batch_id:
-                return e  # concurrent retry of the SAME epoch won: dedupe
+        m = _find_append(log, batch_id)
+        if m is not None:
+            return {"metrics": m}  # concurrent retry of the SAME epoch won
         if high_water_mark_txn(index_dir, log) != hwm:
             raise TxnConflict(
                 f"concurrent append moved the high-water mark past {hwm} "
@@ -443,6 +487,98 @@ def compact_index_txn(spark: SparkSession, index_dir: str) -> dict:
                         "metrics": metrics},
             validate=_removed_still_live)
     return metrics
+
+
+# ---------------------------------------------------------- checkpoint
+
+def checkpoint_txn(index_dir: str) -> dict:
+    """Write a log CHECKPOINT: one entry holding the fully folded state
+    (live data dirs per table, metadata counters, and the append
+    batch-id histories) — the same role as Delta's ``_last_checkpoint``
+    / an Iceberg snapshot manifest list. After it commits, every fold
+    (snapshot / high-water mark / fragmentation / batch dedupe) is
+    O(entries since this checkpoint), and the superseded prefix becomes
+    prunable by :func:`vacuum_log_txn`. Without checkpoints the log —
+    and with it every reader's fold and every commit's LIST — grows one
+    JSON entry per append forever.
+
+    Optimistic like every commit: if ANY entry lands between the fold
+    and the publish, the stale summary is discarded and the fold
+    re-runs against the fresh log (a checkpoint must summarize a log
+    PREFIX exactly — committing a stale one would erase the interleaved
+    entry's effect from every later fold). Returns the committed entry.
+
+    ``append_metrics`` retention: the checkpoint carries every batch
+    id it has ever seen (~200 B each), which keeps exactly-once replay
+    airtight at any age; a production deployment with 10^7+ lifetime
+    batches would age them out past the stream's replay horizon (the
+    Delta ``setTransaction`` retention knob) — not needed at the scales
+    demonstrated here."""
+    for _ in range(64):
+        log = read_log(index_dir)
+        if not log:
+            raise ValueError(f"{index_dir} has no committed log to checkpoint")
+        top = log[-1]["seq"]
+        est = fragmentation_estimate_txn(index_dir, log)
+        am: dict = {}
+        for e in log:
+            if e["op"] == "append":
+                am[e["batch_id"]] = e["metrics"]
+            elif e["op"] == "checkpoint":
+                am.update(e.get("append_metrics", {}))
+        doc = {
+            "op": "checkpoint",
+            "snapshot": snapshot(index_dir, log),
+            "append_metrics": am,
+            "metrics": {
+                "last_doc": high_water_mark_txn(index_dir, log),
+                "n_block_rows": est["base_block_rows"],
+                "n_block_groups": est["base_block_groups"],
+                "append_block_rows": est["append_block_rows"],
+                "n_appends": est["n_appends"],
+            },
+        }
+
+        def _log_unchanged(fresh, _top=top):
+            if fresh and fresh[-1]["seq"] != _top:
+                raise TxnConflict("log advanced during checkpoint fold")
+            return None
+
+        try:
+            return _commit(index_dir, doc, validate=_log_unchanged)
+        except TxnConflict:
+            continue  # refold against the fresh log and try again
+    raise RuntimeError(
+        f"checkpoint of {index_dir} lost the commit race 64 times — "
+        "pathological writer contention")
+
+
+def vacuum_log_txn(index_dir: str, *, min_age_sec: float = 86400.0) -> list[str]:
+    """Delete log entries strictly OLDER than the last checkpoint (it
+    summarizes them all), keeping the same retention window as the
+    data-dir vacuum: a reader that listed the log before the window
+    opened may still be folding those files. Safe because every fold
+    starts from (or passes through) the last checkpoint, which REPLACES
+    the folded state, and because ``read_log`` tolerates files deleted
+    between listing and open. Returns the deleted entry filenames."""
+    log = read_log(index_dir)
+    cp_seqs = [e["seq"] for e in log if e["op"] == "checkpoint"]
+    if not cp_seqs:
+        return []
+    last_cp = cp_seqs[-1]
+    cutoff = time.time() - min_age_sec
+    deleted = []
+    for e in log:
+        if e["seq"] >= last_cp:
+            continue
+        p = _log_path(index_dir, e["seq"])
+        try:
+            if os.path.getmtime(p) <= cutoff:
+                os.remove(p)
+                deleted.append(os.path.basename(p))
+        except OSError:
+            continue  # already pruned by a concurrent vacuum
+    return deleted
 
 
 # -------------------------------------------------------------- vacuum
