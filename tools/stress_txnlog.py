@@ -184,6 +184,30 @@ def main():
     naive = sorted((r.query_id, r.rank, r.doc_id, round(r.score, 9))
                    for r in search_bm25(idx, qdf, 10).collect())
     assert wand == naive, "WAND/naive diverge on the compacted txn index"
+
+    # phase 5: log checkpoint + prefix vacuum — folds identical, results
+    # identical, only the checkpoint entry remains, dedupe survives
+    n_entries_before = len(tx.read_log(INDEX_DIR))
+    hwm_before = tx.high_water_mark_txn(INDEX_DIR)
+    t0 = time.time()
+    tx.checkpoint_txn(INDEX_DIR)
+    ckpt_sec = round(time.time() - t0, 2)
+    n_log_pruned = len(tx.vacuum_log_txn(INDEX_DIR, min_age_sec=0))
+    assert n_log_pruned == n_entries_before
+    assert [e["op"] for e in tx.read_log(INDEX_DIR)] == ["checkpoint"]
+    assert tx.high_water_mark_txn(INDEX_DIR) == hwm_before
+    est = tx.fragmentation_estimate_txn(INDEX_DIR)
+    assert est["fragment_extra_rows_max"] == 0 and est["n_appends"] == 0, est
+    # replayed batch id resolves from the checkpoint's carried history
+    replay = tx.append_batch_txn(
+        spark, INDEX_DIR, corpus.filter(F.col("doc_id") <= 0),
+        doc_col="doc_id", text_col="content", batch_id="inc2",
+        auto_compact_after=None)
+    assert replay["n_docs_appended"] == N_DOCS // 20, replay
+    assert len(tx.read_log(INDEX_DIR)) == 1, "replay must not re-commit"
+    idx_ck = tx.load_index_txn(spark, INDEX_DIR)
+    assert _wand_rows(idx_ck, qdf) == wand, (
+        "results changed across checkpoint + log vacuum")
     spark.stop()
 
     print(json.dumps({
@@ -202,6 +226,10 @@ def main():
         "incremental_appends_sec": appends_sec,
         "final_wand_256q_sec": final_query_sec,
         "wand_equals_naive_on_final": True,
+        "log_checkpoint_sec": ckpt_sec,
+        "log_entries_pruned": n_log_pruned,
+        "dedupe_survives_log_vacuum": True,
+        "results_stable_across_checkpoint": True,
         "total_sec": round(time.time() - t_all, 1),
     }))
 
