@@ -826,9 +826,10 @@ def q_bm25_topk_txnlog(spark, sf_dir):
     """The object-store-safe transaction-log backend end-to-end
     (sources/txnlog.py): save in the log layout, append two batches as
     log transactions (the second triggers log-transaction compaction),
-    vacuum the superseded dirs, then WAND top-k. Same closed-form
-    frozen-stat oracle as bm25_topk_appended — the backend must not
-    change any score."""
+    vacuum the superseded dirs, CHECKPOINT the log and prune the
+    superseded entry prefix, then WAND top-k over the checkpoint-rooted
+    snapshot. Same closed-form frozen-stat oracle as bm25_topk_appended
+    — no step of the lifecycle may change any score."""
     import shutil
     import tempfile
 
@@ -854,6 +855,9 @@ def q_bm25_topk_txnlog(spark, sf_dir):
             doc_col="doc_id", batch_id=1, auto_compact_after=2)
         assert m.get("compaction"), "second append must trigger log-txn compaction"
         tx.vacuum_txn(path, min_age_sec=0)
+        tx.checkpoint_txn(path)
+        tx.vacuum_log_txn(path, min_age_sec=0)
+        assert [e["op"] for e in tx.read_log(path)] == ["checkpoint"]
         idx2 = tx.load_index_txn(spark, path)
         res = search_bm25_wand(idx2, _query_df(spark), TOP_K).select(
             "query_id", "rank", "doc_id", F.round("score", 4).alias("score4")
