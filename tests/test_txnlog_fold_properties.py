@@ -121,3 +121,70 @@ def test_checkpoint_and_prefix_vacuum_are_fold_invisible(tmp_path_factory, steps
     est = tx.fragmentation_estimate_txn(path)
     assert est["n_appends"] == before[2]["n_appends"] + 1
     assert tx._find_append(tx.read_log(path), "tail")["n_docs_appended"] == 5
+
+def _mk_entry(op, **kw):
+    return {"op": op, **kw}
+
+
+def test_checkpoint_is_noop_when_nothing_committed_since(tmp_path):
+    """Idle maintenance must not churn the log: a checkpoint directly
+    on top of another returns the existing entry, commits nothing."""
+    path = str(tmp_path)
+    os.makedirs(os.path.join(path, tx.LOG_DIR))
+    _publish_entry(path, _mk_entry(
+        "init", add={"blocks": ["data/blocks/init-0"]},
+        metrics={"last_doc": 5, "n_block_rows": 2, "n_block_groups": 2}))
+    first = tx.checkpoint_txn(path)
+    again = tx.checkpoint_txn(path)
+    assert again["seq"] == first["seq"]
+    assert len(tx.read_log(path)) == 2  # init + ONE checkpoint
+
+
+def test_log_vacuum_retention_gates_on_checkpoint_age(tmp_path):
+    """The window is the CHECKPOINT's age: a fresh checkpoint over old
+    entries must not let the default window prune anything (a reader
+    listing taken seconds ago lacks the checkpoint), while an aged
+    checkpoint releases the prefix."""
+    path = str(tmp_path)
+    os.makedirs(os.path.join(path, tx.LOG_DIR))
+    _publish_entry(path, _mk_entry(
+        "init", add={"blocks": ["data/blocks/init-0"]},
+        metrics={"last_doc": 5, "n_block_rows": 2, "n_block_groups": 2}))
+    # age the prefix entry far past any window
+    old = tx._log_path(path, 1)
+    os.utime(old, (1.0, 1.0))
+    cp = tx.checkpoint_txn(path)
+    assert tx.vacuum_log_txn(path) == []  # default 24h: checkpoint too young
+    assert os.path.exists(old)
+    # age the checkpoint -> the prefix becomes reclaimable
+    os.utime(tx._log_path(path, cp["seq"]), (1.0, 1.0))
+    assert tx.vacuum_log_txn(path) == [os.path.basename(old)]
+
+
+def test_read_log_refuses_torn_suffix(tmp_path):
+    """Entries that are not a dense run rooted at seq 1 or a checkpoint
+    (e.g. a mid-log file deleted outside vacuum_log_txn) must raise,
+    never fold silently into a wrong snapshot."""
+    path = str(tmp_path)
+    os.makedirs(os.path.join(path, tx.LOG_DIR))
+    _publish_entry(path, _mk_entry(
+        "init", add={"blocks": ["data/blocks/init-0"]},
+        metrics={"last_doc": 5, "n_block_rows": 2, "n_block_groups": 2}))
+    _publish_entry(path, _mk_entry(
+        "append", batch_id="b1", add={"blocks": ["data/blocks/append-1"]},
+        metrics={"last_doc": 9, "n_block_rows": 1, "batch_id": "b1"}))
+    _publish_entry(path, _mk_entry(
+        "append", batch_id="b2", add={"blocks": ["data/blocks/append-2"]},
+        metrics={"last_doc": 12, "n_block_rows": 1, "batch_id": "b2"}))
+    os.remove(tx._log_path(path, 1))  # baseless suffix: [2, 3]
+    import pytest
+
+    with pytest.raises(RuntimeError, match="torn transaction log"):
+        tx.read_log(path)
+    # a PREFIX-truncated log rooted at a checkpoint stays readable:
+    # restore coherence by rooting the suffix at a checkpoint
+    os.remove(tx._log_path(path, 2))
+    with pytest.raises(RuntimeError):
+        tx.read_log(path)  # [3] alone is still baseless
+    os.remove(tx._log_path(path, 3))
+    assert tx.read_log(path) == []  # empty log is coherent

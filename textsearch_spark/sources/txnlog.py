@@ -122,25 +122,52 @@ def _publish(path: str, doc: dict) -> bool:
         os.unlink(tmp)
 
 
+def _log_is_coherent(entries: list[dict]) -> bool:
+    """A readable log is a DENSE run of sequence numbers whose first
+    entry is either seq 1 (never vacuumed) or a checkpoint (a vacuumed
+    prefix is only valid if what remains is rooted at the checkpoint
+    that superseded it). Anything else is a torn read — e.g. a listing
+    taken just before a checkpoint committed, opened while the vacuum
+    deleted the prefix: folding the surviving baseless suffix would
+    silently produce a wrong snapshot."""
+    if not entries:
+        return True
+    seqs = [e["seq"] for e in entries]
+    if seqs != list(range(seqs[0], seqs[0] + len(seqs))):
+        return False
+    return seqs[0] == 1 or entries[0].get("op") == "checkpoint"
+
+
 def read_log(index_dir: str) -> list[dict]:
     """Committed entries in sequence order. The sequence may have a
     truncated PREFIX (``vacuum_log_txn`` deletes entries superseded by
-    a checkpoint) but never holds — seq N+1 is only ever claimed after
-    N exists. Tolerates entries deleted between listing and open (a
-    concurrent log vacuum); backfills ``seq`` from the filename so
-    ordering never depends on the entry body."""
+    a checkpoint) but never holes — seq N+1 is only ever claimed after
+    N exists. Entries deleted between listing and open (a concurrent
+    log vacuum) are tolerated by RE-LISTING until the surviving set is
+    coherent (dense, rooted at seq 1 or a checkpoint) — never by
+    silently folding a torn suffix. Backfills ``seq`` from the filename
+    so ordering never depends on the entry body."""
     import glob
 
-    out = []
-    for p in sorted(glob.glob(os.path.join(index_dir, LOG_DIR, "*.json"))):
-        try:
-            with open(p) as f:
-                e = json.load(f)
-        except FileNotFoundError:
-            continue  # pruned by a concurrent vacuum_log_txn
-        e.setdefault("seq", int(os.path.basename(p).split(".")[0]))
-        out.append(e)
-    return out
+    for attempt in range(5):
+        out = []
+        for p in sorted(glob.glob(os.path.join(index_dir, LOG_DIR, "*.json"))):
+            try:
+                with open(p) as f:
+                    e = json.load(f)
+            except FileNotFoundError:
+                continue  # pruned by a concurrent vacuum_log_txn
+            e.setdefault("seq", int(os.path.basename(p).split(".")[0]))
+            out.append(e)
+        if _log_is_coherent(out):
+            return out
+        time.sleep(0.05 * (attempt + 1))  # vacuum races settle fast
+    raise RuntimeError(
+        f"torn transaction log at {index_dir}/{LOG_DIR}: entries "
+        f"{[e['seq'] for e in out]} are not a dense run rooted at seq 1 "
+        "or a checkpoint — mid-log files were deleted outside "
+        "vacuum_log_txn, or a vacuum is running with no retention window "
+        "while this reader holds a pre-checkpoint listing")
 
 
 def _commit(index_dir: str, doc: dict, *, validate=None,
@@ -518,6 +545,11 @@ def checkpoint_txn(index_dir: str) -> dict:
         log = read_log(index_dir)
         if not log:
             raise ValueError(f"{index_dir} has no committed log to checkpoint")
+        if log[-1]["op"] == "checkpoint":
+            # nothing committed since the last checkpoint: a new one
+            # would be byte-identical and only churn the log (idle
+            # maintenance crons must be true no-ops)
+            return log[-1]
         top = log[-1]["seq"]
         est = fragmentation_estimate_txn(index_dir, log)
         am: dict = {}
@@ -540,7 +572,11 @@ def checkpoint_txn(index_dir: str) -> dict:
         }
 
         def _log_unchanged(fresh, _top=top):
-            if fresh and fresh[-1]["seq"] != _top:
+            # an empty fresh log is NOT "unchanged": the non-empty log
+            # we folded cannot legitimately vanish, and committing here
+            # would re-claim seq 1 with a summary of state through _top
+            # — an out-of-order entry that breaks the fold invariant
+            if not fresh or fresh[-1]["seq"] != _top:
                 raise TxnConflict("log advanced during checkpoint fold")
             return None
 
@@ -555,27 +591,39 @@ def checkpoint_txn(index_dir: str) -> dict:
 
 def vacuum_log_txn(index_dir: str, *, min_age_sec: float = 86400.0) -> list[str]:
     """Delete log entries strictly OLDER than the last checkpoint (it
-    summarizes them all), keeping the same retention window as the
-    data-dir vacuum: a reader that listed the log before the window
-    opened may still be folding those files. Safe because every fold
-    starts from (or passes through) the last checkpoint, which REPLACES
-    the folded state, and because ``read_log`` tolerates files deleted
-    between listing and open. Returns the deleted entry filenames."""
+    summarizes them all).
+
+    The retention window gates on the AGE OF THE CHECKPOINT, not of the
+    pruned entries: the prefix became superseded the moment the
+    checkpoint committed, so what protects a concurrent reader is that
+    every log listing taken in the last ``min_age_sec`` already
+    contains the checkpoint — an entry's own mtime says nothing (an
+    idle log's entries are all old the instant a fresh checkpoint
+    lands). Deletion runs in DESCENDING sequence order as a second
+    defense: a reader holding a pre-checkpoint listing then sees a
+    consistent historical prefix shrink from the top, never a baseless
+    suffix, and ``read_log``'s coherence check re-lists on any torn
+    read. Pass ``min_age_sec=0`` only when externally certain no reader
+    holds a pre-checkpoint listing. Returns the deleted filenames."""
     log = read_log(index_dir)
-    cp_seqs = [e["seq"] for e in log if e["op"] == "checkpoint"]
-    if not cp_seqs:
+    cps = [e for e in log if e["op"] == "checkpoint"]
+    if not cps:
         return []
-    last_cp = cp_seqs[-1]
-    cutoff = time.time() - min_age_sec
+    last_cp = cps[-1]["seq"]
+    try:
+        cp_age = time.time() - os.path.getmtime(_log_path(index_dir, last_cp))
+    except OSError:
+        return []  # checkpoint entry raced away — nothing safe to do
+    if cp_age < min_age_sec:
+        return []  # readers may still hold pre-checkpoint listings
     deleted = []
-    for e in log:
+    for e in sorted(log, key=lambda e: -e["seq"]):
         if e["seq"] >= last_cp:
             continue
         p = _log_path(index_dir, e["seq"])
         try:
-            if os.path.getmtime(p) <= cutoff:
-                os.remove(p)
-                deleted.append(os.path.basename(p))
+            os.remove(p)
+            deleted.append(os.path.basename(p))
         except OSError:
             continue  # already pruned by a concurrent vacuum
     return deleted
