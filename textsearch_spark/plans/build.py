@@ -52,6 +52,12 @@ class BM25Index:
     n_docs: int
     avgdl: float
     blocks: Optional[DataFrame] = None  # compressed block-max postings
+    # max doc_id over the FULL fit corpus — including docs that
+    # tokenize empty or all-OOV, which have no doclens/postings row, so
+    # max(doclens.doc_id) can UNDERSTATE it and a later auto-id append
+    # would reuse a live id. Set by build_bm25_index; None on handles
+    # from legacy paths (save_index then falls back to the doclens max)
+    last_doc: Optional[int] = None
     # persisted typo-lookup q-gram inverted file (gram, vtoken, vsz) —
     # built once per index lifetime (operators.approxvoc.build_qgram_index),
     # saved under qgrams/; None falls back to an inline per-batch build
@@ -90,8 +96,14 @@ def build_bm25_index(
 
     # fit-time scalars: one small aggregate + one count.
     # total token occurrences == sum of tf over the *unfiltered* BOW,
-    # so avgdl never needs a second tokenization pass.
-    n_docs = df.count()
+    # so avgdl never needs a second tokenization pass. last_doc rides
+    # the same job as the count: it must cover empty/all-OOV docs
+    # (absent from doclens), or the append high-water mark would reuse
+    # their ids.
+    crow = df.agg(F.count("*").alias("n"),
+                  F.max(doc_col).alias("last_doc")).collect()[0]
+    n_docs = int(crow.n)
+    last_doc = int(crow.last_doc) if crow.last_doc is not None else 0
     total_tokens = bow.agg(F.sum("tf")).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     bm25 = params.fold(avgdl, n_docs)
@@ -138,6 +150,7 @@ def build_bm25_index(
     return BM25Index(
         cfg=cfg, params=params, bm25=bm25, vocab=vocab,
         postings=postings, doclens=doclens, n_docs=n_docs, avgdl=avgdl,
+        last_doc=last_doc,
     )
 
 
@@ -172,7 +185,12 @@ def build_bm25_index_direct(
     if cache:
         bow = bow.cache()
 
-    n_docs = df.count()
+    # count + last_doc in one job; last_doc must cover empty/all-OOV
+    # docs absent from doclens (see BM25Index.last_doc)
+    crow = df.agg(F.count("*").alias("n"),
+                  F.max(doc_col).alias("last_doc")).collect()[0]
+    n_docs = int(crow.n)
+    last_doc = int(crow.last_doc) if crow.last_doc is not None else 0
     total_tokens = bow.agg(F.sum("tf")).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     bm25 = params.fold(avgdl, n_docs)
@@ -201,7 +219,7 @@ def build_bm25_index_direct(
     return BM25Index(
         cfg=cfg, params=params, bm25=bm25, vocab=vocab,
         postings=postings, doclens=doclens, n_docs=n_docs, avgdl=avgdl,
-        blocks=blocks,
+        blocks=blocks, last_doc=last_doc,
     )
 
 
@@ -223,6 +241,16 @@ def filter_lists(
     ascending docID — the reference's unstable sort leaves ties
     unspecified; we pin them deterministically).
 
+    "List length" is the ACTUAL posting count per token (one count
+    aggregate + a join back), matching the reference's
+    ``length(plist)`` — NOT the fit-time ``ndocs`` column: on an index
+    that has absorbed appends, ndocs is frozen while lists grow, and
+    classifying by ndocs would let grown hot lists silently escape the
+    bound. On a fresh index the two are equal. The count groupBy is
+    map-side-partial (skew-safe); Catalyst broadcasts the per-token
+    lengths when the vocabulary is small and AQE's skew-join split
+    covers the sort-merge case.
+
     The vocabulary (and therefore ndocs/idf and each entry's impact)
     is intentionally *not* recomputed — the reference prunes only the
     adjacency lists and keeps fit-time statistics.
@@ -238,11 +266,14 @@ def filter_lists(
     """
     from pyspark.sql.window import Window
 
-    p = index.postings
-    # list length == ndocs (one posting per (token, doc))
-    short = p.filter(F.col("ndocs") < list_min_length_for_checking)
+    lengths = index.postings.groupBy("token").agg(
+        F.count("*").alias("__list_len"))
+    p = index.postings.join(lengths, "token")
+    short = p.filter(F.col("__list_len") < list_min_length_for_checking) \
+        .drop("__list_len")
     long_f = (
-        p.filter(F.col("ndocs") >= list_min_length_for_checking)
+        p.filter(F.col("__list_len") >= list_min_length_for_checking)
+        .drop("__list_len")
         .filter((F.col("tf") >= doc_min_freq) & (F.col("tf") <= doc_max_freq))
     )
     order = (F.desc("tf"), F.asc("doc_id"))

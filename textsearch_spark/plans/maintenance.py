@@ -177,7 +177,7 @@ def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
     # (token, block_id), so rows == groups; the count reads only the
     # staged parquet footers. last_doc folds base meta + the consumed
     # appends' manifests — no scan.
-    from ..streaming.append import high_water_mark
+    from ..streaming.append import _int_batch, high_water_mark
 
     n_rows = spark.read.parquet(os.path.join(tmp, "blocks")).count()
     meta_update = {
@@ -185,6 +185,25 @@ def _compact_locked(spark: SparkSession, index_dir: str) -> dict:
         "n_block_rows": int(n_rows),
         "n_block_groups": int(n_rows),
     }
+    # the append manifests double as the STREAMING DEDUPE TOKENS, and
+    # this compaction is about to delete them — fold the highest
+    # consumed integer epoch (and its run id) into meta.json so a
+    # replayed epoch after compaction is still recognized as applied
+    # instead of double-appending (streaming/append.py _append_locked)
+    mans = dict(committed_append_manifests(index_dir))
+    with open(os.path.join(index_dir, META)) as f:
+        base_meta = json.load(f)
+    int_ids = [(i, b) for b in ids if (i := _int_batch(b)) is not None]
+    prev = base_meta.get("last_stream_batch")
+    if int_ids or prev is not None:
+        hi = max(int_ids, default=(None, None))
+        cand = [int(prev)] if prev is not None else []
+        cand += [i for i, _ in int_ids]
+        meta_update["last_stream_batch"] = max(cand)
+        if hi[0] is not None and (prev is None or hi[0] > int(prev)):
+            meta_update["last_stream_run"] = mans.get(hi[1], {}).get("run_id")
+        else:
+            meta_update["last_stream_run"] = base_meta.get("last_stream_run")
     commit = {"appends": ids, "staged": ["blocks"], "staged_at": time.time(),
               "meta_update": meta_update}
     commit_tmp = os.path.join(tmp, "COMMIT.json.tmp")

@@ -146,13 +146,16 @@ def synthetic_zipf_corpus(
         gen, "repo string, path string, commit string, lang string, content string")
 
 
-def with_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit")) -> DataFrame:
-    """Stable dense 1-based doc_id by (repo, path, commit) — FIXTURES.md
-    F2 — without a single-partition global window: range-partition +
-    sort by the key, then ``zipWithIndex`` (one extra count job; the
-    only RDD use in the engine, because it is the one primitive that
-    assigns contiguous cross-partition offsets in a single consistent
-    computation).
+def with_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit"), *,
+                 start: int = 0) -> DataFrame:
+    """Stable dense ``start+1``-based doc_id by ``order_cols`` —
+    FIXTURES.md F2 — without a single-partition global window:
+    range-partition + sort by the key, then ``zipWithIndex`` (one extra
+    count job; the only RDD use in the engine, because it is the one
+    primitive that assigns contiguous cross-partition offsets in a
+    single consistent computation). ``start`` offsets every id — the
+    append path passes the index's high-water mark so appended docs
+    slot in above existing ids (streaming/append.py).
 
     A previous version derived per-partition offsets from
     ``spark_partition_id()`` in one query and joined them back in
@@ -164,6 +167,12 @@ def with_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit")) -> DataFr
     """
     from pyspark.sql.types import LongType, StructField
 
+    if "doc_id" in df.columns:
+        # schema.add would silently create a DUPLICATE doc_id field and
+        # every downstream select would die with AMBIGUOUS_REFERENCE
+        raise ValueError(
+            "input already has a doc_id column — drop it first, or (on "
+            "the append path) pass doc_col='doc_id' to use the existing ids")
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = (
@@ -171,6 +180,7 @@ def with_doc_ids(df: DataFrame, order_cols=("repo", "path", "commit")) -> DataFr
         .sortWithinPartitions(*order_cols)
     )
     schema = d.schema.add(StructField("doc_id", LongType(), False))
+    base = int(start) + 1
     return spark.createDataFrame(
-        d.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1)), schema
+        d.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + base)), schema
     )

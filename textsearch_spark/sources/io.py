@@ -328,9 +328,16 @@ def save_index(index: BM25Index, path: str, *, postings_partitions: int | None =
     }
     # base-table metadata, folded with the append manifests at query
     # time so high_water_mark / fragmentation never scan the tables
-    # (r03 verdict item 5): one agg each at save time, O(1) thereafter
-    row = index.doclens.agg(F.max("doc_id")).collect()[0]
-    meta["last_doc"] = int(row[0] or 0)
+    # (r03 verdict item 5): one agg each at save time, O(1) thereafter.
+    # Prefer the build-time last_doc (max over the FULL corpus): the
+    # doclens fallback understates it when the highest-id docs tokenize
+    # empty or all-OOV (no doclens row), and an understated high-water
+    # mark would let a later auto-id append REUSE a live doc id.
+    if index.last_doc is not None:
+        meta["last_doc"] = int(index.last_doc)
+    else:
+        row = index.doclens.agg(F.max("doc_id")).collect()[0]
+        meta["last_doc"] = int(row[0] or 0)
     if index.blocks is not None:
         brow = index.blocks.agg(
             F.count("*").alias("rows"),
@@ -416,6 +423,7 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
             avgdl=meta["avgdl"],
             blocks=blocks,
             qgrams=qgrams,
+            last_doc=meta.get("last_doc"),
         )
 
 

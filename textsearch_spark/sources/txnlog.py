@@ -270,7 +270,14 @@ def save_index_txn(index: BM25Index, path: str, *,
     add["blocks"] = [rel]
 
     spark = index.spark
-    row = index.doclens.agg(F.max("doc_id")).collect()[0]
+    # build-time last_doc covers empty/all-OOV docs with no doclens
+    # row; the doclens max is only a legacy-handle fallback (an
+    # understated high-water mark would let auto-id appends reuse ids)
+    if index.last_doc is not None:
+        last_doc_val = int(index.last_doc)
+    else:
+        row = index.doclens.agg(F.max("doc_id")).collect()[0]
+        last_doc_val = int(row[0] or 0)
     n_rows = spark.read.parquet(absd).count()
     brow = index.blocks.agg(
         F.count_distinct("token", "block_id").alias("groups")).collect()[0]
@@ -280,7 +287,7 @@ def save_index_txn(index: BM25Index, path: str, *,
 
     _commit(path, {
         "op": "init", "add": add,
-        "metrics": {"last_doc": int(row[0] or 0),
+        "metrics": {"last_doc": last_doc_val,
                     "n_block_rows": int(n_rows),
                     "n_block_groups": int(brow.groups)},
     }, validate=_must_be_first)
@@ -319,6 +326,7 @@ def load_index_txn(spark: SparkSession, path: str,
         avgdl=meta["avgdl"],
         blocks=blocks,
         qgrams=qgrams,
+        last_doc=high_water_mark_txn(path, log),
     )
 
 
@@ -412,7 +420,7 @@ def append_batch_txn(
     idx = load_index_txn(spark, index_dir, log0)
     span = int(idx.blocks.select("span").limit(1).collect()[0][0])
     hwm = high_water_mark_txn(index_dir, log0)
-    postings, n_new, first_doc, last_doc = compute_batch_postings(
+    postings, n_new, first_doc, last_doc, docs = compute_batch_postings(
         spark, idx, new_docs, doc_col=doc_col, text_col=text_col, hwm=hwm)
 
     postings = postings.cache()
@@ -427,6 +435,7 @@ def append_batch_txn(
     postings.groupBy("doc_id").agg(F.first("doclen").alias("doclen")).write.parquet(abs_d)
     add["doclens"] = [rel_d]
     postings.unpersist()
+    docs.unpersist()  # auto-id path caches the assigned batch
 
     n_block_rows = spark.read.parquet(abs_b).count()
     metrics = {

@@ -86,6 +86,10 @@ def high_water_mark(spark: SparkSession, index_dir: str) -> int:
     mans = committed_append_manifests(index_dir)
     if base_last is not None and all("last_doc" in m["metrics"] for _, m in mans):
         return max([int(base_last)] + [int(m["metrics"]["last_doc"]) for _, m in mans])
+    # legacy-index fallback only (pre-metadata layouts). Caveat: docs
+    # that tokenized empty/all-OOV have no doclens row, so this can
+    # understate the true max id — modern meta carries the build-time
+    # last_doc over the FULL corpus precisely to close that hole.
     row = read_table(spark, index_dir, "doclens").agg(F.max("doc_id")).collect()[0]
     return int(row[0] or 0)
 
@@ -102,29 +106,30 @@ def compute_batch_postings(
     """Backend-agnostic core of one append batch: assign doc ids above
     the high-water mark and score the batch against the FROZEN
     vocabulary/constants (reference append_items! semantics, module
-    docstring). Returns ``(postings, n_new, first_doc, last_doc)`` —
-    postings in POSTING_COLS long form; the caller derives blocks and
+    docstring). Returns ``(postings, n_new, first_doc, last_doc, docs)``
+    — postings in POSTING_COLS long form; ``docs`` is the id-assigned
+    batch (CACHED on the auto-id path — the caller must ``unpersist()``
+    it after materializing postings). The caller derives blocks and
     doclens and owns staging/commit (rename protocol here, transaction
     log in sources/txnlog.py)."""
     if doc_col is None:
-        # scale-safe auto-id: range-partition + local sort by the text,
-        # then zipWithIndex offset by the high-water mark — contiguous
-        # cross-partition ids in ONE job, same pattern as
-        # sources.corpus.with_doc_ids. (A global Window.orderBy funnels
-        # the whole batch through a single task's sort: fine for small
-        # micro-batches, silently serial for a 10^8-doc bulk append.)
-        from pyspark.sql.types import LongType, StructField
+        # scale-safe auto-id: sources.corpus.with_doc_ids (range-
+        # partition + local sort by the text, then zipWithIndex) offset
+        # by the high-water mark — contiguous cross-partition ids in
+        # one consistent computation, never a single-task global sort.
+        # n_new comes from a count over the RAW batch (row count is
+        # id-assignment-invariant), so the shuffle+sort+zipWithIndex
+        # lineage never re-runs for the count; caching ``docs`` keeps
+        # the downstream BOW from re-running it either.
+        from ..sources.corpus import with_doc_ids
 
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        d = (
-            new_docs.repartitionByRange(n_part, F.col(text_col))
-            .sortWithinPartitions(text_col)
-        )
-        schema = d.schema.add(StructField("doc_id", LongType(), False))
-        docs = spark.createDataFrame(
-            d.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + 1 + hwm)), schema
-        )
-        n_new = docs.count()
+        if "doc_id" in new_docs.columns:
+            raise ValueError(
+                "appended batch already has a doc_id column — pass "
+                "doc_col='doc_id' to append under the existing ids "
+                "(auto-id would create a duplicate field)")
+        n_new = new_docs.count()
+        docs = with_doc_ids(new_docs, order_cols=(text_col,), start=hwm).cache()
         first_doc, last_doc = hwm + 1, hwm + n_new
     else:
         docs = new_docs.withColumnRenamed(doc_col, "doc_id") if doc_col != "doc_id" else new_docs
@@ -162,7 +167,15 @@ def compute_batch_postings(
             F.col("tf").cast("double"),
         ),
     ).select(*POSTING_COLS)
-    return postings, n_new, first_doc, last_doc
+    return postings, n_new, first_doc, last_doc, docs
+
+
+def _int_batch(batch_id) -> Optional[int]:
+    """Streaming epoch ids are ints; ad-hoc ids (uuid) are not."""
+    try:
+        return int(str(batch_id))
+    except ValueError:
+        return None
 
 
 def append_batch_to_index(
@@ -174,6 +187,7 @@ def append_batch_to_index(
     text_col: str = "text",
     batch_id=None,
     auto_compact_after: Optional[int] = 8,
+    run_id: Optional[str] = None,
 ) -> dict:
     """Append one batch of documents to a persisted block index.
 
@@ -190,6 +204,13 @@ def append_batch_to_index(
     None disables. The whole append (staging through commit and
     auto-compaction) runs under the index's maintenance lock — the
     single-writer requirement is now enforced, not just documented.
+
+    ``run_id`` identifies the streaming run (stream_append_to_index
+    passes the checkpoint dir): replays are recognized only within one
+    run; a replayed epoch id carrying a DIFFERENT run id (a fresh
+    checkpoint restarting epochs at 0 over an already-appended index)
+    fails loudly instead of silently dropping the new batch behind the
+    old batch's metrics.
     """
     import uuid
 
@@ -202,6 +223,7 @@ def append_batch_to_index(
         return _append_locked(
             spark, index_dir, new_docs, doc_col=doc_col, text_col=text_col,
             batch_id=batch_id, auto_compact_after=auto_compact_after,
+            run_id=run_id,
         )
 
 
@@ -214,12 +236,43 @@ def _append_locked(
     text_col: str,
     batch_id,
     auto_compact_after: Optional[int],
+    run_id: Optional[str] = None,
 ) -> dict:
     import shutil
 
-    if os.path.exists(append_manifest_path(index_dir, batch_id)):
-        with open(append_manifest_path(index_dir, batch_id)) as f:
-            return json.load(f)["metrics"]
+    def _run_conflict(prior_run) -> None:
+        if run_id is not None and prior_run is not None and prior_run != run_id:
+            raise ValueError(
+                f"epoch {batch_id} was already applied by a DIFFERENT "
+                f"streaming run ({prior_run}); this run ({run_id}) "
+                "restarted epoch ids over the same index — resume the "
+                "original checkpoint_dir, or rebuild/append into a "
+                "fresh index (silently skipping would drop this "
+                "batch's documents)")
+
+    man_p = append_manifest_path(index_dir, batch_id)
+    if os.path.exists(man_p):
+        with open(man_p) as f:
+            doc = json.load(f)
+        _run_conflict(doc.get("run_id"))
+        return doc["metrics"]
+    # replay of an epoch whose manifest was CONSUMED by a compaction:
+    # the manifests are the streaming dedupe tokens, so compaction
+    # folds the highest consumed integer epoch into meta.json
+    # (last_stream_batch) — without this, a driver crash between
+    # auto-compaction and the streaming checkpoint commit would replay
+    # the epoch and double-append every document in it
+    ib = _int_batch(batch_id)
+    if ib is not None:
+        meta_p = os.path.join(index_dir, META)
+        if os.path.exists(meta_p):
+            with open(meta_p) as f:
+                meta = json.load(f)
+            last = meta.get("last_stream_batch")
+            if last is not None and ib <= int(last):
+                _run_conflict(meta.get("last_stream_run"))
+                return {"batch_id": str(batch_id), "n_docs_appended": 0,
+                        "replay_of_compacted": True}
     batch_dir = append_batch_dir(index_dir, batch_id)
     if os.path.isdir(batch_dir):
         # crashed previous attempt: staged but never committed — remove
@@ -231,7 +284,7 @@ def _append_locked(
     assert idx.blocks is not None, "append requires a block index (save with blocks)"
     span = int(idx.blocks.select("span").limit(1).collect()[0][0])
     hwm = high_water_mark(spark, index_dir)
-    postings, n_new, first_doc, last_doc = compute_batch_postings(
+    postings, n_new, first_doc, last_doc, docs = compute_batch_postings(
         spark, idx, new_docs, doc_col=doc_col, text_col=text_col, hwm=hwm)
 
     postings = postings.cache()
@@ -244,6 +297,7 @@ def _append_locked(
     doclens = postings.groupBy("doc_id").agg(F.first("doclen").alias("doclen"))
     doclens.write.parquet(os.path.join(batch_dir, "doclens"))
     postings.unpersist()
+    docs.unpersist()  # auto-id path caches the assigned batch
 
     # manifest-carried metadata (r03 verdict item 5): last_doc feeds
     # high_water_mark's manifest fold; n_block_rows feeds the
@@ -262,7 +316,8 @@ def _append_locked(
     os.makedirs(os.path.join(index_dir, "_manifests"), exist_ok=True)
     doc = {"stage": f"append_{batch_id}", "metrics": metrics,
            "lineage": {"parents": ["index", "blocks"]},
-           "completed_at": time.time(), "complete": True}
+           "completed_at": time.time(), "complete": True,
+           "run_id": run_id}
     tmp = append_manifest_path(index_dir, batch_id) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
@@ -283,23 +338,32 @@ def stream_append_to_index(
     *,
     checkpoint_dir: str,
     text_col: str = "text",
+    doc_col: Optional[str] = None,
     trigger_available_now: bool = True,
     auto_compact_after: Optional[int] = 8,
 ):
     """readStream docs -> incremental index appends, one per
     micro-batch (foreachBatch). Returns the started StreamingQuery.
     Batch ids key the append manifests, so Structured Streaming's
-    replay-on-failure semantics stay exactly-once at the index level;
-    every ``auto_compact_after`` batches the accumulated appends are
-    folded into the base tables (bounded fragmentation forever)."""
+    replay-on-failure semantics stay exactly-once at the index level
+    (the replay guard survives compaction via meta.last_stream_batch,
+    and is scoped to THIS checkpoint's run id — a fresh checkpoint
+    restarting epoch ids over the same index fails loudly instead of
+    silently dropping batches); every ``auto_compact_after`` batches
+    the accumulated appends are folded into the base tables (bounded
+    fragmentation forever). ``doc_col`` names a column of caller-
+    assigned doc ids (must stay above the index's high-water mark);
+    None auto-assigns — sources whose rows already carry ``doc_id``
+    must pass ``doc_col='doc_id'``."""
+    run_id = os.path.abspath(checkpoint_dir)
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         append_batch_to_index(
             batch_df.sparkSession, index_dir, batch_df,
-            text_col=text_col, batch_id=batch_id,
-            auto_compact_after=auto_compact_after,
+            doc_col=doc_col, text_col=text_col, batch_id=batch_id,
+            auto_compact_after=auto_compact_after, run_id=run_id,
         )
 
     writer = stream_df.writeStream.foreachBatch(update).option(

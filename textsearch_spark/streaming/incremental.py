@@ -58,16 +58,25 @@ def read_vocab_state(spark: SparkSession, state_dir: str) -> Optional[DataFrame]
 
 
 def _commit_state(vocab: DataFrame, state_dir: str, corpuslen: int,
-                  version: int, batch_id) -> None:
+                  version: int, batch_id, *, run_id=None,
+                  prev_dir=None) -> None:
     """Versioned snapshot + pointer commit: the new vocabulary parquet
     lands in its own ``vocab_v{n}`` dir, then ``state.json`` (the
-    pointer: dir, corpuslen, last applied batch id) is renamed in
-    atomically. A crash anywhere leaves the previous pointer intact and
-    consistent — corpuslen can never disagree with the vocabulary it
-    describes, and the old snapshot is never deleted before the new one
-    is committed (the rmtree-then-rename swap this replaces could lose
-    the only snapshot). Superseded version dirs are swept AFTER the
-    commit; leftovers from a crash are swept by the next commit."""
+    pointer: dir, corpuslen, last applied batch id, streaming run id)
+    is renamed in atomically. A crash anywhere leaves the previous
+    pointer intact and consistent — corpuslen can never disagree with
+    the vocabulary it describes, and the old snapshot is never deleted
+    before the new one is committed (the rmtree-then-rename swap this
+    replaces could lose the only snapshot).
+
+    Reader grace window: the IMMEDIATELY superseded snapshot
+    (``prev_dir``) survives this commit and is swept by the commit
+    after it — a reader that resolved the old pointer and has a query
+    in flight does not hit deleted files the instant the writer
+    commits (same retention idea as the txnlog vacuum window). One
+    version of grace, not MVCC: a reader that lags two commits behind
+    a hot writer must re-resolve ``read_vocab_state``. Older
+    leftovers (including crash debris) are swept here."""
     import json
     import shutil
 
@@ -77,10 +86,12 @@ def _commit_state(vocab: DataFrame, state_dir: str, corpuslen: int,
     tmp = os.path.join(state_dir, "state.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"corpuslen": corpuslen, "version": version,
-                   "vocab_dir": new_dir, "last_batch_id": batch_id}, f)
+                   "vocab_dir": new_dir, "last_batch_id": batch_id,
+                   "run_id": run_id}, f)
     os.replace(tmp, os.path.join(state_dir, "state.json"))  # commit point
     for d in os.listdir(state_dir):
-        if (d.startswith("vocab_v") or d == "vocab") and d != new_dir:
+        if (d.startswith("vocab_v") or d == "vocab") \
+                and d != new_dir and d != prev_dir:
             shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
 
@@ -90,18 +101,30 @@ def read_corpuslen(state_dir: str) -> int:
 
 def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, *,
                           doc_col: str = "doc_id", text_col: str = "text",
-                          batch_id=None) -> DataFrame:
+                          batch_id=None, run_id=None) -> DataFrame:
     """Merge one block of new docs into the persisted vocabulary;
     returns the merged vocabulary DataFrame.
 
     ``batch_id`` (monotonic, e.g. the streaming epoch) makes replays
     idempotent: a batch id already recorded in the committed state is
     skipped — without this, a foreachBatch retry would double-count
-    occs/ndocs/corpuslen for the replayed docs."""
+    occs/ndocs/corpuslen for the replayed docs. The replay guard is
+    scoped to ``run_id`` (stream_vocab passes its checkpoint dir): a
+    fresh checkpoint restarts epoch ids at 0, and treating those as
+    replays of the OLD run would silently discard every new batch — a
+    reused ``state_dir`` under a different run fails loudly instead."""
     spark = new_docs.sparkSession
     meta = _load_meta(state_dir)
     if batch_id is not None and meta["last_batch_id"] is not None \
             and batch_id <= meta["last_batch_id"]:
+        prior_run = meta.get("run_id")
+        if run_id is not None and prior_run is not None and prior_run != run_id:
+            raise ValueError(
+                f"vocab state {state_dir} was last written by streaming "
+                f"run {prior_run} (epoch {meta['last_batch_id']}); this "
+                f"run ({run_id}) restarted epoch ids — resume the "
+                "original checkpoint_dir, or start a fresh state_dir "
+                "(silently skipping would drop this batch's documents)")
         return read_vocab_state(spark, state_dir)
     inc = build_vocab(new_docs, cfg, doc_col=doc_col, text_col=text_col)
     prev = read_vocab_state(spark, state_dir)
@@ -110,7 +133,9 @@ def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, 
     # consistent and the old snapshot survives until the commit
     merged = merge_vocab(prev, inc) if prev is not None else inc
     n = meta["corpuslen"] + new_docs.count()
-    _commit_state(merged, state_dir, n, meta["version"] + 1, batch_id)
+    _commit_state(merged, state_dir, n, meta["version"] + 1, batch_id,
+                  run_id=run_id if run_id is not None else meta.get("run_id"),
+                  prev_dir=meta["vocab_dir"])
     return read_vocab_state(spark, state_dir)
 
 
@@ -122,11 +147,14 @@ def stream_vocab(stream_df: DataFrame, cfg: TextConfig, state_dir: str, *,
     backlog then stops, mirroring block-buffered ingestion). Epoch ids
     key the committed state, so replays are exactly-once."""
 
+    run_id = os.path.abspath(checkpoint_dir)
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         merge_vocab_increment(batch_df, cfg, state_dir, doc_col=doc_col,
-                              text_col=text_col, batch_id=batch_id)
+                              text_col=text_col, batch_id=batch_id,
+                              run_id=run_id)
 
     writer = stream_df.writeStream.foreachBatch(update).option(
         "checkpointLocation", checkpoint_dir
