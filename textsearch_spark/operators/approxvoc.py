@@ -95,7 +95,17 @@ def approx_lookup(
     keep = qgram_index.select("gram").distinct()
 
     qtok = query_tokens.select("qtoken").distinct()
-    qgrams = _qgram_sets(qtok.withColumn("token", F.col("qtoken")).select("qtoken", "token"),
+    exact = qtok.join(vtok, qtok.qtoken == vtok.token, "inner").select(
+        "qtoken", F.col("token").alias("match_token"), F.lit(0.0).alias("dist")
+    )
+    # reference short-circuit (src/approxvoc.jl token2id: an exact hit
+    # returns before any q-gram work): only the OOV tail enters the
+    # set-similarity join. In-vocab terms — the overwhelming majority
+    # of a typical batch — never pay the explode/join/window; the
+    # pre-r04 shape ran the full fuzzy join for every term and
+    # anti-joined the exact hits away afterwards.
+    miss = qtok.join(vtok, qtok.qtoken == vtok.token, "left_anti")
+    qgrams = _qgram_sets(miss.withColumn("token", F.col("qtoken")).select("qtoken", "token"),
                          key="qtoken").join(keep, "gram")
     qsizes = qgrams.groupBy("qtoken").agg(F.count("*").alias("qsz"))
 
@@ -111,12 +121,8 @@ def approx_lookup(
     w = Window.partitionBy("qtoken").orderBy(F.asc("dist"), F.asc("vtoken"))
     best = dist.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
 
-    exact = qtok.join(vtok, qtok.qtoken == vtok.token, "inner").select(
-        "qtoken", F.col("token").alias("match_token"), F.lit(0.0).alias("dist")
-    )
     fuzzy = (
-        best.join(vtok, best.qtoken == vtok.token, "left_anti")
-        .filter(F.col("dist") <= maxdist)
+        best.filter(F.col("dist") <= maxdist)
         .select("qtoken", F.col("vtoken").alias("match_token"), F.round("dist", 4).alias("dist"))
     )
     return exact.unionByName(fuzzy)

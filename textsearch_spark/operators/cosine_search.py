@@ -33,6 +33,10 @@ def search_cosine(
     qv = qv.filter(F.col("token") != EMPTY_SENTINEL).select(
         F.col(id_col), F.col("token"), F.col("weight").alias("__qw")
     )
+    # pin + materialize ONCE: qv feeds both the IN-pushdown collect and
+    # the scoring join (see search_bm25 — same double-consumption and
+    # non-deterministic-source hazard)
+    qv = qv.localCheckpoint(eager=True)
     p = corpus_vectors.filter(F.col("token") != EMPTY_SENTINEL)
     p = prune_postings_by_terms(p, qv)
     scored = (

@@ -86,7 +86,7 @@ def _encode_with_max_udf(bm25):
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    from ..functions.bm25 import tokenscore_np
+    from ..functions.bm25 import max_tokenscore
 
     rt = StructType([
         StructField("blob", BinaryType()),
@@ -102,8 +102,9 @@ def _encode_with_max_udf(bm25):
             tu = np.asarray(t, dtype=np.uint64)
             lu = np.asarray(l, dtype=np.uint64)
             blobs.append(encode_block(du, tu, lu))
-            scores = tokenscore_np(bm25, np.full(len(du), float(nd)), lu, tu)
-            maxes.append(float(scores.max()) if len(du) else 0.0)
+            # the ONE block-max formula (functions/bm25.py) — WAND bound
+            # safety requires every producer of max_impact to agree
+            maxes.append(max_tokenscore(bm25, float(nd), tu, lu))
         return pd.DataFrame({"blob": blobs, "max_impact": maxes})
 
     return enc
@@ -123,7 +124,11 @@ def build_posting_blocks_from_bow(bow: DataFrame, bm25, *, span: int = DEFAULT_B
     """
     from pyspark.sql.window import Window
 
-    p = bow.withColumn("block_id", (F.col("doc_id") / span).cast("long"))
+    # integer DIV, not float division: (doc_id / span).cast('long')
+    # loses exactness above 2^53 and would assign boundary doc_ids to
+    # the wrong block — the WAND kernel then reconstructs ids from a
+    # wrong block offset with no error
+    p = bow.withColumn("block_id", F.expr(f"doc_id DIV {int(span)}"))
     agg = p.groupBy("token", "block_id").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "tf", "doclen"))).alias("entries"),
         F.count("*").alias("n"),
@@ -155,61 +160,65 @@ def compact_blocks(blocks: DataFrame, bm25) -> DataFrame:
     every row of a block id), at the cost of per-fragment decode and
     weaker block-max pruning (per-fragment maxima). Compaction decodes
     each fragmented group once, merges the entries in docID order, and
-    re-encodes a single row; untouched singleton rows pass through
-    unchanged (no re-encode). Runs as one bounded groupBy on the block
-    table — never wider than ``span`` entries per group."""
+    re-encodes a single row; singleton groups pass their blob and
+    max_impact through the kernel untouched (no decode/re-encode).
+    ONE bounded groupBy over the block table — never wider than
+    ``span`` entries per group, and never more than one scan: the
+    previous two-branch design (window count, then separate
+    singles/fragments filters unioned) read and shuffled the whole
+    table twice per compaction."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    from ..functions.bm25 import tokenscore_np
+    from ..functions.bm25 import max_tokenscore
 
     rt = StructType([
         StructField("blob", BinaryType()),
         StructField("max_impact", DoubleType()),
     ])
 
+    # the two collect_lists are position-aligned: Spark feeds every
+    # aggregate in one groupBy from the same per-group row stream
     @pandas_udf(rt)
-    def merge(blob_lists: pd.Series, ndocs: pd.Series) -> pd.DataFrame:
+    def merge(blob_lists: pd.Series, max_lists: pd.Series,
+              ndocs: pd.Series) -> pd.DataFrame:
         blobs_out, maxes = [], []
-        for blobs, nd in zip(blob_lists, ndocs):
+        for blobs, mx, nd in zip(blob_lists, max_lists, ndocs):
+            if len(blobs) == 1:  # unfragmented: pure passthrough
+                blobs_out.append(bytes(blobs[0]))
+                maxes.append(float(mx[0]))
+                continue
             parts = [decode_block(bytes(b)) for b in blobs]
             docs = np.concatenate([p[0] for p in parts])
             tfs = np.concatenate([p[1] for p in parts])
             dls = np.concatenate([p[2] for p in parts])
+            # fragments hold disjoint doc sets (a doc's posting for a
+            # token is appended once), so the doc sort is deterministic
+            # regardless of collect_list order
             order = np.argsort(docs, kind="stable")
             docs, tfs, dls = docs[order], tfs[order], dls[order]
             blobs_out.append(encode_block(docs, tfs, dls))
-            scores = tokenscore_np(bm25, np.full(len(docs), float(nd)), dls, tfs)
-            maxes.append(float(scores.max()) if len(docs) else 0.0)
+            # the ONE block-max formula (functions/bm25.py)
+            maxes.append(max_tokenscore(bm25, float(nd), tfs, dls))
         return pd.DataFrame({"blob": blobs_out, "max_impact": maxes})
 
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("token", "block_id")
-    b = blocks.withColumn("__frag", F.count("*").over(w))
-    singles = b.filter(F.col("__frag") == 1).drop("__frag")
-    frag = (
-        b.filter(F.col("__frag") > 1).drop("__frag")
-        .groupBy("token", "block_id", "span")
-        .agg(
-            F.collect_list("blob").alias("__blobs"),
-            F.sum("n").alias("n"),
-            F.min("first_doc").alias("first_doc"),
-            F.max("last_doc").alias("last_doc"),
-            F.max("ndocs").alias("ndocs"),  # fit-frozen; rows agree
-        )
-        .select(
-            "token", "block_id", "n", "first_doc", "last_doc", "ndocs",
-            "span", merge(F.col("__blobs"), F.col("ndocs")).alias("__m"),
-        )
-        .select(
-            "token", "block_id", "n", "first_doc", "last_doc", "ndocs",
-            F.col("__m.max_impact").alias("max_impact"), "span",
-            F.col("__m.blob").alias("blob"),
-        )
+    g = blocks.groupBy("token", "block_id", "span").agg(
+        F.collect_list("blob").alias("__blobs"),
+        F.collect_list("max_impact").alias("__maxes"),
+        F.sum("n").alias("n"),
+        F.min("first_doc").alias("first_doc"),
+        F.max("last_doc").alias("last_doc"),
+        F.max("ndocs").alias("ndocs"),  # fit-frozen; rows agree
     )
-    return singles.select(*BLOCKS_COLUMNS).unionByName(frag.select(*BLOCKS_COLUMNS))
+    return g.select(
+        "token", "block_id", "n", "first_doc", "last_doc", "ndocs", "span",
+        merge(F.col("__blobs"), F.col("__maxes"), F.col("ndocs")).alias("__m"),
+    ).select(
+        "token", "block_id", "n", "first_doc", "last_doc", "ndocs",
+        F.col("__m.max_impact").alias("max_impact"), "span",
+        F.col("__m.blob").alias("blob"),
+    )
 
 
 def build_posting_blocks(postings: DataFrame, *, span: int = DEFAULT_BLOCK_SPAN) -> DataFrame:
@@ -220,7 +229,9 @@ def build_posting_blocks(postings: DataFrame, *, span: int = DEFAULT_BLOCK_SPAN)
     src/bm25invfile.jl:133-139), and the vbyte encode runs vectorized
     per block in an Arrow UDF.
     """
-    p = postings.withColumn("block_id", (F.col("doc_id") / span).cast("long"))
+    # integer DIV (see build_posting_blocks_from_bow: float division is
+    # inexact above 2^53 doc ids)
+    p = postings.withColumn("block_id", F.expr(f"doc_id DIV {int(span)}"))
     agg = p.groupBy("token", "block_id").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "tf", "doclen"))).alias("entries"),
         F.count("*").alias("n"),

@@ -113,6 +113,13 @@ def search_bm25(
     """
     q = query_tokens(index, queries, query_col=query_col, id_col=id_col,
                      typo_tolerant=typo_tolerant, maxdist=maxdist)
+    # pin + materialize ONCE: q is consumed twice (the IN-pushdown
+    # collect below and the scoring join), so without this the
+    # tokenization — and the whole typo-tolerant similarity join —
+    # re-ran per consumer, and a non-deterministic queries source
+    # (sample(), unordered limit()) could yield a prune term set
+    # inconsistent with the join's, silently truncating results
+    q = q.localCheckpoint(eager=True)
 
     p = index.postings
     if accept_min_ndocs is not None:

@@ -119,6 +119,17 @@ def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int,
         if pdf.empty:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []})
 
+        # pin row order: applyInPandas gives NO intra-group order
+        # guarantee, and fragmented (token, block_id) groups (post-
+        # append, pre-compaction) are float-summed in row order — an
+        # arrival-order sum can differ in the last ulp across runs and
+        # flip a tie at the k boundary. first_doc disambiguates
+        # fragments (their doc ranges are disjoint), making the
+        # accumulation order — and the advertised rank-determinism —
+        # run-independent.
+        pdf = pdf.sort_values(["token", "block_id", "first_doc"],
+                              kind="mergesort", ignore_index=True)
+
         blobs = pdf["blob"].to_numpy(dtype=object)
         nds = pdf["ndocs"].to_numpy(dtype=np.float64)
         toks = pdf["token"].to_numpy(dtype=object)
@@ -145,8 +156,8 @@ def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int,
                 decoded[i] = hit
             return hit
 
-        # token -> its candidate rows in this bucket (pdf order, so
-        # same-token rows keep a deterministic relative order)
+        # token -> its candidate rows in this bucket (pdf was sorted
+        # above, so same-token rows keep a deterministic relative order)
         tok2rows: dict = {}
         for i, t in enumerate(toks):
             tok2rows.setdefault(t, []).append(i)
@@ -255,6 +266,18 @@ def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int,
     return kernel
 
 
+def _default_n_buckets(index: BM25Index) -> int:
+    """Estimate the block-id space from fit-time stats (ids start at
+    the low doc ids, so n_blocks ~= n_docs/span); one tiny limit(1)
+    job fetches the span. Bucket so each bucket holds >=
+    MIN_RANGES_PER_BUCKET (32) doc ranges."""
+    span_row = index.blocks.select("span").limit(1).collect()
+    span = int(span_row[0][0]) if span_row else 4096
+    n_blocks = max(1, -(-int(index.n_docs) // span))
+    shuffle = int(index.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(1, min(shuffle, n_blocks // MIN_RANGES_PER_BUCKET))
+
+
 def search_bm25_wand(
     index: BM25Index,
     queries: DataFrame,
@@ -270,6 +293,7 @@ def search_bm25_wand(
     counters: Optional[WandCounters] = None,
     accept_min_ndocs: Optional[int] = None,
     accept_max_ndocs: Optional[int] = None,
+    _bq_out: Optional[list] = None,
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to search_bm25.
 
@@ -316,15 +340,7 @@ def search_bm25_wand(
     assert index.bm25.delta >= 0.0, "WAND requires delta >= 0 (positive impacts)"
     spark = index.spark
     if n_buckets is None:
-        # estimate the block-id space from fit-time stats (ids start at
-        # the low doc ids, so n_blocks ~= n_docs/span); one tiny limit(1)
-        # job fetches the span. Bucket so each bucket holds >=
-        # MIN_RANGES_PER_BUCKET (32) doc ranges.
-        span_row = index.blocks.select("span").limit(1).collect()
-        span = int(span_row[0][0]) if span_row else 4096
-        n_blocks = max(1, -(-int(index.n_docs) // span))
-        shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        n_buckets = max(1, min(shuffle, n_blocks // MIN_RANGES_PER_BUCKET))
+        n_buckets = _default_n_buckets(index)
 
     q = query_tokens(index, queries, query_col=query_col, id_col=id_col,
                      typo_tolerant=typo_tolerant, maxdist=maxdist)
@@ -338,15 +354,45 @@ def search_bm25_wand(
     # term set for the candidate join + optional scan pushdown. The
     # candidate rows stay BARE (token, block) — no per-row id lists.
     qrows = q.collect()
-    qmap: dict = {}
+    raw: dict = {}
     for r in qrows:
-        qmap.setdefault(int(r.query_id), []).append(r.token)
-    qmap = {qid: tuple(sorted(ts)) for qid, ts in qmap.items()}
-    if not qmap:
-        empty = spark.createDataFrame(
-            [], f"{id_col} long, rank int, doc_id long, score double")
-        return empty
+        raw.setdefault(r.query_id, []).append(r.token)
+    if not raw:
+        # empty result with the CALLER's id type, not a hardcoded long
+        return (
+            queries.select(F.col(id_col)).limit(0)
+            .withColumn("rank", F.lit(None).cast("int"))
+            .withColumn("doc_id", F.lit(None).cast("long"))
+            .withColumn("score", F.lit(None).cast("double"))
+        )
+    # the kernel wants integral ids (int64 output arrays + the
+    # query_groups hash); non-integral ids (strings, decimals — fully
+    # supported by search_bm25, and this path is documented as
+    # rank-identical to it) get dense surrogates here and are mapped
+    # back by a broadcast join after the kernel
+    int_ids = all(isinstance(i, int) and not isinstance(i, bool) for i in raw)
+    if int_ids:
+        qmap = {int(i): tuple(sorted(ts)) for i, ts in raw.items()}
+        idmap = None
+    else:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        orig = sorted(raw)
+        qmap = {j: tuple(sorted(raw[o])) for j, o in enumerate(orig)}
+        idmap = spark.createDataFrame(
+            [(j, o) for j, o in enumerate(orig)],
+            StructType([
+                StructField("query_id", LongType()),
+                StructField("__orig_id", queries.schema[id_col].dataType),
+            ]),
+        )
     bq = spark.sparkContext.broadcast(qmap)
+    if _bq_out is not None:
+        # hand the broadcast to the caller for explicit release —
+        # search_bm25_wand_chunked unpersists each chunk's map after
+        # its write instead of pinning every chunk's map on the
+        # executors until driver GC
+        _bq_out.append(bq)
     terms = sorted({t for ts in qmap.values() for t in ts})
 
     blocks = index.blocks
@@ -374,6 +420,11 @@ def search_bm25_wand(
     local = cand.groupBy("bucket", "qgrp").applyInPandas(
         _bucket_kernel(index.bm25, k, bq, query_groups, counters), _OUT_SCHEMA
     )
+    if idmap is not None:
+        local = (
+            local.join(F.broadcast(idmap), "query_id")
+            .drop("query_id").withColumnRenamed("__orig_id", "query_id")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     out = (
         local.withColumn("rank", F.row_number().over(w))
@@ -423,15 +474,25 @@ def search_bm25_wand_chunked(
     OWNS ``output_path``: chunk 0 writes with mode("overwrite"), so a
     rerun after a mid-loop failure (or over a stale previous result)
     starts clean instead of appending duplicate rows."""
+    assert index.blocks is not None, "build_posting_blocks first (or io.load_index)"
     spark = index.spark
+    # localCheckpoint, not persist(): a persisted partition lost to an
+    # executor failure is silently RECOMPUTED from lineage, and a
+    # non-deterministic source would re-deal queries across chunks
+    # mid-loop; a checkpoint truncates lineage so chunk membership is
+    # genuinely pinned across the per-chunk re-evaluations
+    queries = queries.localCheckpoint(eager=True)
+    n = queries.select(id_col).distinct().count()
+    n_chunks = max(1, -(-n // chunk_size))
+    # resolve the bucket count ONCE: every chunk sees the same index,
+    # so per-chunk span limit(1) jobs would be n_chunks redundant
+    # serial driver round-trips
+    kwargs.setdefault("n_buckets", _default_n_buckets(index))
+    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
+
     if output_path is None:
-        # pin chunk membership across the per-chunk re-evaluations
-        queries = queries.localCheckpoint(eager=True)
-        n = queries.select(id_col).distinct().count()
-        n_chunks = max(1, -(-n // chunk_size))
         if n_chunks == 1:
             return search_bm25_wand(index, queries, k, id_col=id_col, **kwargs)
-        bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
         parts = []
         for i in range(n_chunks):
             sub = queries.filter(bucket == i)
@@ -441,18 +502,17 @@ def search_bm25_wand_chunked(
             out = out.unionByName(p)
         return out
 
-    # localCheckpoint, not persist(): a persisted partition lost to an
-    # executor failure is silently RECOMPUTED from lineage, and a
-    # non-deterministic source would re-deal queries across chunks
-    # mid-loop; a checkpoint truncates lineage so chunk membership is
-    # genuinely pinned (same pin as the union branch)
-    queries = queries.localCheckpoint(eager=True)
-    n = queries.select(id_col).distinct().count()
-    n_chunks = max(1, -(-n // chunk_size))
-    bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
     for i in range(n_chunks):
         sub = queries.filter(bucket == i) if n_chunks > 1 else queries
-        res = search_bm25_wand(index, sub, k, id_col=id_col, **kwargs)
+        slot: list = []
+        res = search_bm25_wand(index, sub, k, id_col=id_col, _bq_out=slot,
+                               **kwargs)
         res.write.mode("overwrite" if i == 0 else "append").parquet(output_path)
+        for b in slot:
+            # the chunk is fully materialized — drop its query-map
+            # broadcast from the executors now instead of waiting for
+            # driver GC (at 10^4 chunks the pinned maps would otherwise
+            # grow executor storage unboundedly)
+            b.unpersist(blocking=False)
     spark.catalog.refreshByPath(output_path)
     return spark.read.parquet(output_path)
