@@ -50,14 +50,26 @@ def vbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def vbyte_decode(buf: bytes, offset: int = 0, count: int | None = None):
-    """Decode varints from ``buf[offset:]``; returns (values, end_offset).
-    When ``count`` is given, decodes exactly that many values."""
-    b = np.frombuffer(buf, dtype=np.uint8, offset=offset)
+def vbyte_decode(buf: bytes, offset: int = 0, count: int | None = None,
+                 end: int | None = None):
+    """Decode varints from ``buf[offset:end]``; returns
+    (values, end_offset). When ``count`` is given, decodes exactly that
+    many values and raises ``ValueError`` if the stream holds fewer —
+    a truncated/corrupt blob must fail loudly, not return short arrays
+    that silently mis-score downstream (the WAND kernel would add
+    mismatched-length score arrays). ``end`` bounds the scan: without
+    it every call runs the continuation-bit pass over the WHOLE
+    remaining buffer even for a 3-value header."""
+    n_bytes = -1 if end is None else max(0, end - offset)
+    b = np.frombuffer(buf, dtype=np.uint8, offset=offset, count=n_bytes)
     is_last = (b & 0x80) == 0
     ends = np.flatnonzero(is_last)
     if count is not None:
         ends = ends[:count]
+        if len(ends) != count:
+            raise ValueError(
+                f"truncated varint stream: expected {count} values, "
+                f"found {len(ends)} (blob corrupt or cut short)")
     n = len(ends)
     if n == 0:
         return np.empty(0, dtype=np.uint64), offset
@@ -74,11 +86,14 @@ def vbyte_decode(buf: bytes, offset: int = 0, count: int | None = None):
 
 
 def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray) -> bytes:
-    """Encode one docID-sorted posting block."""
+    """Encode one docID-sorted posting block (n == 0 is valid and
+    round-trips to empty arrays)."""
     doc_ids = np.asarray(doc_ids, dtype=np.uint64)
     n = len(doc_ids)
+    # diff with prepend=0 already yields deltas[0] == doc_ids[0], and
+    # handles the empty block (the old explicit deltas[0] assignment
+    # crashed on n == 0)
     deltas = np.diff(doc_ids, prepend=np.uint64(0))
-    deltas[0] = doc_ids[0] if n else 0
     doc_stream = vbyte_encode(deltas)
     tf_stream = vbyte_encode(np.asarray(tfs, dtype=np.uint64))
     dl_stream = vbyte_encode(np.asarray(doclens, dtype=np.uint64))
@@ -87,11 +102,16 @@ def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, doclens: np.ndarray) -> b
 
 
 def decode_block(blob: bytes):
-    """Returns (doc_ids, tfs, doclens) as uint64 arrays."""
-    hdr, off = vbyte_decode(blob, 0, count=3)
+    """Returns (doc_ids, tfs, doclens) as uint64 arrays. Raises
+    ``ValueError`` on a truncated/corrupt blob (count validation in
+    vbyte_decode). Each stream's scan is bounded by the header's stored
+    byte lengths — the query hot path decodes thousands of blocks per
+    bucket, and unbounded scans cost ~3-4x the necessary byte traffic."""
+    # header: 3 varints, <= 10 bytes each
+    hdr, off = vbyte_decode(blob, 0, count=3, end=min(len(blob), 30))
     n, dlen, tlen = int(hdr[0]), int(hdr[1]), int(hdr[2])
-    deltas, _ = vbyte_decode(blob, off, count=n)
+    deltas, _ = vbyte_decode(blob, off, count=n, end=off + dlen)
     doc_ids = np.cumsum(deltas, dtype=np.uint64)
-    tfs, _ = vbyte_decode(blob, off + dlen, count=n)
-    doclens, _ = vbyte_decode(blob, off + dlen + tlen, count=n)
+    tfs, _ = vbyte_decode(blob, off + dlen, count=n, end=off + dlen + tlen)
+    doclens, _ = vbyte_decode(blob, off + dlen + tlen, count=n, end=len(blob))
     return doc_ids, tfs, doclens

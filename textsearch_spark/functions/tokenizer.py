@@ -285,6 +285,10 @@ def tokenize(cfg: TextConfig, text: Union[str, Sequence[str], None]) -> List[str
         return tokens
     messages = [text] if isinstance(text, str) else list(text)
     for msg in messages:
+        if msg is None:
+            # a null element inside an array<string> document: skip it
+            # rather than crash the whole Spark task in normalize
+            continue
         normtext = normalize_text(cfg, msg, limits=True)
         unis: List[str] = []
         tokenize_normalized(cfg, normtext, tokens, unis)

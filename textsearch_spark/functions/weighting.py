@@ -69,6 +69,7 @@ def fit_vector_model(
     doc_col: str = "doc_id",
     text_col: str = "text",
     label_col: Optional[str] = None,
+    multi: bool = False,
     smooth: float = 3.0,
     mindocs: int = 3,
     class_weights: str = "balance",
@@ -85,8 +86,17 @@ def fit_vector_model(
     assert local_weighting in LOCAL_WEIGHTINGS
     assert global_weighting in GLOBAL_WEIGHTINGS
     corpuslen = df.count()
-    tokens = exploded_tokens(df, cfg, doc_col=doc_col, text_col=text_col)
-    bow = bow_from_tokens(tokens, doc_col=doc_col).cache()
+    # ``multi`` mirrors vectorize(): the model must be FIT with the same
+    # tokenization it will vectorize with, or multi-message corpora fit
+    # through an accidental duck-typed path
+    tokens = exploded_tokens(df, cfg, doc_col=doc_col, text_col=text_col,
+                             multi=multi)
+    bow = bow_from_tokens(tokens, doc_col=doc_col)
+    if global_weighting == "entropy":
+        # only the entropy branch reads bow twice (vocab + label join);
+        # caching it for the single-consumer idf/binary path pinned the
+        # fit's largest intermediate for nothing
+        bow = bow.cache()
     vocab = vocab_from_bow(bow)
 
     if global_weighting == "entropy":
@@ -103,7 +113,9 @@ def fit_vector_model(
         vocab = vocab.withColumn("gweight", _global_weight_col(global_weighting, corpuslen))
 
     vocab = vocab.cache()
-    maxoccs = vocab.agg(F.max("occs")).collect()[0][0] or 0
+    maxoccs = vocab.agg(F.max("occs")).collect()[0][0] or 0  # fills the cache
+    if global_weighting == "entropy":
+        bow.unpersist()  # vocab is materialized; bow has no more readers
     return VectorModel(cfg, local_weighting, global_weighting, vocab, corpuslen, int(maxoccs))
 
 
@@ -266,11 +278,19 @@ def prune_model_quantile(model: VectorModel, p: float) -> VectorModel:
 
 def dot_products(a: DataFrame, b: DataFrame, *, doc_col: str = "doc_id") -> DataFrame:
     """Pairwise dot products of equal-doc_id vectors from two vector
-    tables — (doc_id, dot). Long-form join+agg (src/dvec.jl:124-136)."""
+    tables — (doc_id, dot). Long-form join+agg (src/dvec.jl:124-136).
+
+    Matches the reference's dot semantics for disjoint vectors: every
+    doc_id present in EITHER table gets a row, with dot = 0.0 when the
+    two vectors share no token (the reference returns 0.0 there; a bare
+    inner join would silently drop those docs from the output)."""
     aa = a.select(doc_col, "token", F.col("weight").alias("wa"))
     bb = b.select(doc_col, "token", F.col("weight").alias("wb"))
-    return (
+    ids = aa.select(doc_col).union(bb.select(doc_col)).distinct()
+    dots = (
         aa.join(bb, [doc_col, "token"])
         .groupBy(doc_col)
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
+    return ids.join(dots, doc_col, "left").withColumn(
+        "dot", F.coalesce(F.col("dot"), F.lit(0.0)))

@@ -32,10 +32,13 @@ def add(a: DataFrame, b: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def centroid(vecs: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+def centroid(vecs: DataFrame) -> DataFrame:
     """L2-normalized sum of a set of sparse vectors -> one-vector table
-    (token, weight) (reference: centroid, src/dvec.jl:200-217)."""
-    summed = vecs.groupBy("token").agg(F.sum("weight").alias("weight"))
+    (token, weight) (reference: centroid, src/dvec.jl:200-217). One
+    global centroid over all rows — per-group centroids are a groupBy
+    away for callers that need them. (A previous signature took a dead
+    ``id_col`` parameter that silently did nothing.)"""
+    summed = sum_vectors(vecs)
     total = F.sqrt(F.sum(F.col("weight") ** 2).over(Window.partitionBy()))
     return summed.withColumn("weight", F.col("weight") / total)
 
