@@ -1522,8 +1522,10 @@ def _pipeline_oracles() -> dict[str, str]:
         return ", ".join(f"'{w}'" for w in words)
 
     langs = sorted(LANG_PROFILES)
+    # lower(token): the engine matches stopwords case-insensitively
+    # (textstats.lang_id), so the oracle must too
     ratio_cols = ",\n   ".join(
-        f"avg(CASE WHEN token IN ({in_list(LANG_PROFILES[l])}) THEN 1.0 ELSE 0.0 END) AS r_{l}"
+        f"avg(CASE WHEN lower(token) IN ({in_list(LANG_PROFILES[l])}) THEN 1.0 ELSE 0.0 END) AS r_{l}"
         for l in langs
     )
     best = "greatest(" + ", ".join(f"r_{l}" for l in langs) + ")"
@@ -1635,7 +1637,7 @@ WITH agg AS (
   SELECT doc_id,
          count(*)::BIGINT AS n_words,
          avg(length(token)) AS mwl,
-         avg(CASE WHEN token IN ({sw_en}) THEN 1.0 ELSE 0.0 END) AS swr,
+         avg(CASE WHEN lower(token) IN ({sw_en}) THEN 1.0 ELSE 0.0 END) AS swr,
          count(DISTINCT token)::DOUBLE / count(*) AS ttr
   FROM ({_TOK}) GROUP BY doc_id
 )
@@ -1653,7 +1655,7 @@ SELECT t.doc_id, t.ws_tokens, t.subword_tokens, length(d.text)::BIGINT AS n_char
 FROM (
   SELECT doc_id, count(*)::BIGINT AS ws_tokens,
          sum(ceil(length(token) / 4.0))::BIGINT AS subword_tokens
-  FROM ({_TOK}) GROUP BY doc_id
+  FROM ({_TOK}) WHERE token <> '' GROUP BY doc_id
 ) t JOIN documents d USING (doc_id)
 """,
         "fingerprint_winnow": f"""
@@ -1667,10 +1669,16 @@ WITH sh AS (
     WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
   ) WHERE lst IS NOT NULL
 )
-SELECT DISTINCT doc_id,
-       min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fingerprint
-FROM sh
+SELECT DISTINCT doc_id, fingerprint FROM (
+  SELECT doc_id,
+         min(h) OVER w5 AS fingerprint,
+         count(*) OVER w5 AS wn,
+         count(*) OVER (PARTITION BY doc_id) AS total,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM sh
+  WINDOW w5 AS (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+) WHERE wn = 5 OR (total < 5 AND rn = 1)
 """,
         "multimodal_meta": """
 SELECT doc_id,

@@ -26,15 +26,20 @@ from pyspark.sql.window import Window
 
 def exact_duplicates(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, dup_group, group_size) for docs whose exact content
-    appears more than once; dup_group = min doc_id of the cluster."""
+    appears more than once; dup_group = min doc_id of the cluster.
+
+    groupBy + join back, NOT a window over the hash: the min/count
+    partially aggregate map-side, so the shuffle carries one row per
+    distinct hash (tiny on a mostly-duplicate corpus) and the join
+    against that small cluster table broadcasts — a window would ship
+    every (doc, hash) row to the exchange with no combine."""
     h = df.select(F.col(doc_col), F.sha2(F.col(text_col), 256).alias("__h"))
-    w = Window.partitionBy("__h")
-    return (
-        h.withColumn("dup_group", F.min(doc_col).over(w))
-        .withColumn("group_size", F.count("*").over(w))
+    groups = (
+        h.groupBy("__h")
+        .agg(F.min(doc_col).alias("dup_group"), F.count("*").alias("group_size"))
         .filter(F.col("group_size") > 1)
-        .select(doc_col, "dup_group", "group_size")
     )
+    return h.join(groups, "__h").select(doc_col, "dup_group", "group_size")
 
 
 def word_shingles(df: DataFrame, n: int = 3, *, doc_col: str = "doc_id",
@@ -67,10 +72,28 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = 16, *,
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_bands: int = 4, *,
-                        doc_col: str = "doc_id") -> DataFrame:
+                        doc_col: str = "doc_id",
+                        n_hashes: int | None = None) -> DataFrame:
     """(doc_a, doc_b) candidate pairs sharing at least one LSH band.
-    band_key = md5 of the band's concatenated minhashes."""
-    n_hashes = signatures.agg(F.max("seed")).collect()[0][0] + 1
+    band_key = md5 of the band's concatenated minhashes.
+
+    Pass ``n_hashes`` when the caller knows it (minhash_lsh_dedup
+    does): deriving it from the signatures runs the whole uncached
+    minhash pipeline — its most expensive shuffle — a second time just
+    to recover a constant, and crashes on an empty signature table
+    (max(seed) is NULL)."""
+    if n_hashes is None:
+        row = signatures.agg(F.max("seed")).collect()[0][0]
+        if row is None:
+            # no signatures (e.g. every doc shorter than the shingle
+            # width): no candidates, not a TypeError on None + 1
+            from pyspark.sql.types import StructField, StructType
+
+            idt = signatures.schema[doc_col].dataType
+            return signatures.sparkSession.createDataFrame(
+                [], StructType([StructField("doc_a", idt),
+                                StructField("doc_b", idt)]))
+        n_hashes = int(row) + 1
     rows_per_band = max(1, n_hashes // n_bands)
     banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("long"))
     keys = (
@@ -125,7 +148,7 @@ def minhash_lsh_dedup(df: DataFrame, *, doc_col: str = "doc_id", text_col: str =
     sh = shingles if shingles is not None else word_shingles(
         df, shingle_n, doc_col=doc_col, text_col=text_col)
     sig = minhash_signatures(sh, n_hashes, doc_col=doc_col)
-    pairs = lsh_candidate_pairs(sig, n_bands, doc_col=doc_col)
+    pairs = lsh_candidate_pairs(sig, n_bands, doc_col=doc_col, n_hashes=n_hashes)
     return shingle_jaccard(sh, pairs, doc_col=doc_col).filter(F.col("jaccard") >= threshold)
 
 

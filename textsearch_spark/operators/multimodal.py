@@ -77,15 +77,19 @@ def extract_media_meta(media: DataFrame, *, deterministic_fake: bool = True) -> 
 
     def extract(batches):
         for pdf in batches:
-            metas = [one(bytes(p)) for p in pdf["payload"]]
+            # a NULL payload (failed upstream fetch) yields a null-
+            # metadata row instead of bytes(None) aborting the task
+            payloads = [None if p is None else bytes(p) for p in pdf["payload"]]
+            metas = [None if p is None else one(p) for p in payloads]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
-                "content_sha": [hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]],
+                "n_bytes": [None if p is None else len(p) for p in payloads],
+                "content_sha": [None if p is None else hashlib.sha256(p).hexdigest()
+                                for p in payloads],
                 "media_type": pdf["media_type"],
-                "width": [m["width"] for m in metas],
-                "height": [m["height"] for m in metas],
-                "n_frames": [m["n_frames"] for m in metas],
+                "width": [None if m is None else m["width"] for m in metas],
+                "height": [None if m is None else m["height"] for m in metas],
+                "n_frames": [None if m is None else m["n_frames"] for m in metas],
             })
 
     return media.mapInPandas(extract, MEDIA_META_SCHEMA)

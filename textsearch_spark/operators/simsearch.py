@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
 
 # guard on the driver-side collect of query vectors: queries are the
@@ -97,9 +97,16 @@ def cosine_topk(
         f"query batch {len(query_ids)} exceeds {MAX_QUERY_BATCH}; split the batch"
     )
     qrows = embeddings.filter(F.col(id_col).isin(query_ids)).select(id_col, vec_col).collect()
+    if not qrows:
+        # none of the requested ids exist: empty result, not an
+        # AxisError from a (0,)-shaped norm on the driver
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, cos double")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms[q_norms == 0] = 1.0  # zero-vector query: cos 0 everywhere, not NaN
+    q_norm = q_mat / q_norms
 
     out_schema = "query_id long, neighbor_id long, cos double"
 
@@ -151,18 +158,6 @@ def with_lsh_bucket(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, *,
     """Adds a deterministic sign-LSH ``bucket`` string column. One
     vectorized matmul per Arrow batch — dimension-independent plan."""
     return embeddings.withColumn("bucket", _bucket_udf(n_planes, dim)(F.col(vec_col)))
-
-
-@pandas_udf(DoubleType())
-def _cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
-    a = _to_matrix(va)
-    b = _to_matrix(vb)
-    dots = np.einsum("ij,ij->i", a, b)
-    na = np.linalg.norm(a, axis=1)
-    nb = np.linalg.norm(b, axis=1)
-    den = na * nb
-    den[den == 0] = 1.0
-    return pd.Series(dots / den)
 
 
 def _list_topk_kernel(bq, key_col: str, k: int, id_col: str, vec_col: str):

@@ -27,8 +27,12 @@ def lang_id(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text") -
     """(doc_id, lang_pred, hit_ratio) — language with the highest
     stopword hit ratio; ties break alphabetically, no hits -> 'und'."""
     toks = _tokens(df, doc_col, text_col)
+    # case-insensitive match: the profiles are lowercase, and counting
+    # 'The' as a miss systematically deflates hit ratios (a short doc
+    # whose only stopwords are sentence-initial would land on 'und')
     hits = [
-        F.avg(F.when(F.col("w").isin(LANG_PROFILES[lang]), 1.0).otherwise(0.0)).alias(f"r_{lang}")
+        F.avg(F.when(F.lower(F.col("w")).isin(LANG_PROFILES[lang]), 1.0)
+              .otherwise(0.0)).alias(f"r_{lang}")
         for lang in sorted(LANG_PROFILES)
     ]
     agg = toks.groupBy(doc_col).agg(*hits)
@@ -51,7 +55,7 @@ def quality_score(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "te
     agg = toks.groupBy(doc_col).agg(
         F.count("*").alias("n_words"),
         F.avg(F.length("w")).alias("mwl"),
-        F.avg(F.when(F.col("w").isin(sw), 1.0).otherwise(0.0)).alias("swr"),
+        F.avg(F.when(F.lower(F.col("w")).isin(sw), 1.0).otherwise(0.0)).alias("swr"),
         (F.count_distinct("w") / F.count("*")).alias("ttr"),
     )
     # the composite is computed from the 4dp-rounded components so it is
@@ -79,10 +83,14 @@ def quality_score(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "te
 
 def token_counts(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, subword_tokens, n_chars) — whitespace token
-    count and a BPE-ish subword proxy (runs of letters / digits / other,
-    each ceil(len/4) pieces like typical byte-pair merges)."""
+    count and a BPE-ish subword proxy: each NON-EMPTY whitespace token
+    contributes ceil(len/4) pieces (a length-calibrated approximation
+    of typical byte-pair merge counts, not run segmentation). Empty
+    strings from consecutive/leading/trailing spaces are excluded —
+    counting them inflated ws_tokens past subword_tokens, violating
+    the subword >= ws invariant the proxy guarantees."""
     piece = F.explode(F.split(F.col(text_col), " "))
-    pieces = df.select(F.col(doc_col), piece.alias("w"))
+    pieces = df.select(F.col(doc_col), piece.alias("w")).filter(F.col("w") != "")
     sub = pieces.groupBy(doc_col).agg(
         F.count("*").alias("ws_tokens"),
         F.sum(F.ceil(F.length("w") / 4.0)).cast("long").alias("subword_tokens"),
@@ -95,9 +103,14 @@ def token_counts(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "tex
 def fingerprint_winnow(df: DataFrame, *, doc_col: str = "doc_id", text_col: str = "text",
                        k: int = 4, window: int = 5) -> DataFrame:
     """Winnowing document fingerprints: hash k-token shingles (md5 hex,
-    engine-portable), take the min hash in every sliding window of
+    engine-portable), take the min hash in every FULL sliding window of
     ``window`` shingles, emit the distinct fingerprint set per doc:
-    (doc_id, fingerprint)."""
+    (doc_id, fingerprint). Partial trailing windows are excluded —
+    suffix minima that are not the min of any full window would inflate
+    fingerprint overlap between docs sharing only trailing text. A doc
+    with fewer than ``window`` shingles (no full window at all) emits
+    the min over its whole shingle set, so every doc with at least one
+    shingle keeps a fingerprint."""
     toks = df.select(
         F.col(doc_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
     )
@@ -109,5 +122,14 @@ def fingerprint_winnow(df: DataFrame, *, doc_col: str = "doc_id", text_col: str 
     ).filter(F.col("__last").isNotNull())
     hashed = sh.select(doc_col, "pos", F.md5("shingle").alias("h"))
     wwin = Window.partitionBy(doc_col).orderBy("pos").rowsBetween(0, window - 1)
-    fp = hashed.select(doc_col, F.min("h").over(wwin).alias("fingerprint"))
-    return fp.distinct()
+    fp = hashed.select(
+        doc_col,
+        F.min("h").over(wwin).alias("fingerprint"),
+        F.count("*").over(wwin).alias("__wn"),
+        F.count("*").over(Window.partitionBy(doc_col)).alias("__total"),
+        F.row_number().over(Window.partitionBy(doc_col).orderBy("pos")).alias("__rn"),
+    ).filter(
+        (F.col("__wn") == window)
+        | ((F.col("__total") < window) & (F.col("__rn") == 1))
+    )
+    return fp.select(doc_col, "fingerprint").distinct()
