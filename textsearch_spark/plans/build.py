@@ -103,7 +103,10 @@ def build_bm25_index(
     crow = df.agg(F.count("*").alias("n"),
                   F.max(doc_col).alias("last_doc")).collect()[0]
     n_docs = int(crow.n)
-    last_doc = int(crow.last_doc) if crow.last_doc is not None else 0
+    # non-integral doc ids (supported by the in-memory naive path only
+    # — the block codec and appends require int64) leave last_doc None
+    last_doc = int(crow.last_doc) if isinstance(crow.last_doc, int) else (
+        0 if crow.last_doc is None else None)
     total_tokens = bow.agg(F.sum("tf")).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     bm25 = params.fold(avgdl, n_docs)
@@ -190,7 +193,10 @@ def build_bm25_index_direct(
     crow = df.agg(F.count("*").alias("n"),
                   F.max(doc_col).alias("last_doc")).collect()[0]
     n_docs = int(crow.n)
-    last_doc = int(crow.last_doc) if crow.last_doc is not None else 0
+    # non-integral doc ids (supported by the in-memory naive path only
+    # — the block codec and appends require int64) leave last_doc None
+    last_doc = int(crow.last_doc) if isinstance(crow.last_doc, int) else (
+        0 if crow.last_doc is None else None)
     total_tokens = bow.agg(F.sum("tf")).collect()[0][0] or 0
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
     bm25 = params.fold(avgdl, n_docs)
