@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.weighting import EMPTY_SENTINEL, VectorModel, vectorize
 from .search import prune_postings_by_terms
@@ -35,8 +36,11 @@ def search_cosine(
     )
     # pin + materialize ONCE: qv feeds both the IN-pushdown collect and
     # the scoring join (see search_bm25 — same double-consumption and
-    # non-deterministic-source hazard)
-    qv = qv.localCheckpoint(eager=True)
+    # non-deterministic-source hazard). persist keeps lineage so an
+    # executor loss recomputes instead of failing the query (a
+    # localCheckpoint here was a fault-tolerance regression).
+    qv = qv.persist(StorageLevel.MEMORY_AND_DISK)
+    qv.count()
     p = corpus_vectors.filter(F.col("token") != EMPTY_SENTINEL)
     p = prune_postings_by_terms(p, qv)
     scored = (
@@ -44,9 +48,19 @@ def search_cosine(
         .groupBy(id_col, "doc_id")
         .agg(F.sum(F.col("weight") * F.col("__qw")).alias("cos"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("doc_id"))
+    # salted two-phase top-k — same skew bound as search_bm25: one
+    # stop-wordy query can't pin all its scored rows on one task
+    order = (F.desc("cos"), F.asc("doc_id"))
+    w_local = Window.partitionBy(id_col, "_pid").orderBy(*order)
+    pre = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(w_local))
+        .filter(F.col("_lrank") <= k)
+        .drop("_pid", "_lrank")
+    )
+    w = Window.partitionBy(id_col).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "doc_id", "cos")
     )

@@ -24,6 +24,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.udfs import exploded_tokens
 from ..plans.build import BM25Index
@@ -118,8 +119,16 @@ def search_bm25(
     # tokenization — and the whole typo-tolerant similarity join —
     # re-ran per consumer, and a non-deterministic queries source
     # (sample(), unordered limit()) could yield a prune term set
-    # inconsistent with the join's, silently truncating results
-    q = q.localCheckpoint(eager=True)
+    # inconsistent with the join's, silently truncating results.
+    # persist + eager count rather than localCheckpoint: checkpointed
+    # partitions are NOT recomputable, so an executor loss between
+    # tokenization and the scoring join would fail the whole query;
+    # persist keeps lineage (recompute stays possible — in that rare
+    # recompute-after-loss case a nondeterministic source reverts to
+    # standard Spark recompute semantics) while still computing the
+    # expensive tokenization/similarity-join exactly once normally.
+    q = q.persist(StorageLevel.MEMORY_AND_DISK)
+    q.count()
 
     p = index.postings
     if accept_min_ndocs is not None:
@@ -133,9 +142,28 @@ def search_bm25(
     # per postings partition (the distributed select_posting_lists)
     joined = p.join(F.broadcast(q), "token")
     scored = joined.groupBy(id_col, "doc_id").agg(F.sum("impact").alias("score"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    # Salted two-phase top-k: the final per-query window alone would
+    # shuffle EVERY scored (query, doc) row of one query into a single
+    # task — a query containing a stop-wordish term scores a large
+    # fraction of the corpus, so at 100× that one straggler task holds
+    # millions of rows. Phase 1 takes the top-k per (query, input
+    # partition) — any row in the global top-k beats fewer than k rows
+    # globally, hence fewer than k within its own partition, so the
+    # local top-k is a superset of the global answer and ranks are
+    # identical by construction. Phase 2's window then sees at most
+    # k × shuffle_partitions rows per query. Tie order (score desc,
+    # doc_id asc) is applied in BOTH phases so the pin holds.
+    order = (F.desc("score"), F.asc("doc_id"))
+    w_local = Window.partitionBy(id_col, "_pid").orderBy(*order)
+    pre = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrank", F.row_number().over(w_local))
+        .filter(F.col("_lrank") <= k)
+        .drop("_pid", "_lrank")
+    )
+    w = Window.partitionBy(id_col).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "doc_id", "score")
     )

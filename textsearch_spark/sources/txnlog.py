@@ -103,6 +103,27 @@ def _log_path(index_dir: str, seq: int) -> str:
     return os.path.join(index_dir, LOG_DIR, f"{seq:020d}.json")
 
 
+# Per-process monotone floor: the highest checkpoint seq this process
+# has EVER observed per index. A vacuum with min_age_sec=0 can race a
+# writer whose listing predates the checkpoint — the writer would then
+# see a coherent-but-stale prefix {1..k} and re-claim the just-pruned
+# seq k+1 via create-if-absent, producing a permanently gapped log.
+# _commit refuses to claim any seq at or below this floor, turning that
+# corruption into a retry against a fresh listing. (Cross-PROCESS, the
+# 24 h default retention window remains the guard: a fresh process that
+# never observed the checkpoint has no floor — documented limitation of
+# delete-based pruning; tombstones would close it at the cost of the
+# LIST-size win vacuuming exists for.)
+_CP_FLOOR: dict[str, int] = {}
+
+
+def _observe_checkpoint_floor(index_dir: str, log: list[dict]) -> None:
+    cps = [e["seq"] for e in log if e.get("op") == "checkpoint"]
+    if cps:
+        key = os.path.abspath(index_dir)
+        _CP_FLOOR[key] = max(_CP_FLOOR.get(key, 0), max(cps))
+
+
 def _publish(path: str, doc: dict) -> bool:
     """Atomically publish ``doc`` at ``path`` iff nothing is there —
     the create-if-absent commit primitive. Local emulation: write a
@@ -138,18 +159,46 @@ def _log_is_coherent(entries: list[dict]) -> bool:
     return seqs[0] == 1 or entries[0].get("op") == "checkpoint"
 
 
+def _checkpoint_rooted_suffix(entries: list[dict]) -> Optional[list[dict]]:
+    """If the listing contains a checkpoint whose suffix {cp..top} is
+    dense, that suffix alone is a complete, valid fold base — the
+    checkpoint summarizes every earlier entry, so whatever the vacuum
+    did to the prefix is irrelevant. This is exactly the shape a
+    mid-vacuum listing has (survivors {1..k} ∪ {cp..top}), so readers
+    racing a perfectly legal vacuum recover immediately instead of
+    retrying against a moving target."""
+    cps = [i for i, e in enumerate(entries) if e.get("op") == "checkpoint"]
+    if not cps:
+        return None
+    cp_seq = entries[cps[-1]]["seq"]
+    suffix = [e for e in entries if e["seq"] >= cp_seq]
+    seqs = [e["seq"] for e in suffix]
+    if seqs == list(range(cp_seq, cp_seq + len(seqs))):
+        return suffix
+    return None
+
+
 def read_log(index_dir: str) -> list[dict]:
     """Committed entries in sequence order. The sequence may have a
     truncated PREFIX (``vacuum_log_txn`` deletes entries superseded by
     a checkpoint) but never holes — seq N+1 is only ever claimed after
     N exists. Entries deleted between listing and open (a concurrent
-    log vacuum) are tolerated by RE-LISTING until the surviving set is
-    coherent (dense, rooted at seq 1 or a checkpoint) — never by
-    silently folding a torn suffix. Backfills ``seq`` from the filename
-    so ordering never depends on the entry body."""
+    log vacuum) are tolerated two ways, never by silently folding a
+    baseless suffix: (a) if the surviving set contains a checkpoint
+    whose suffix {cp..top} is dense, that suffix is returned directly
+    (it is a complete fold base — the exact mid-vacuum shape); (b)
+    otherwise RE-LIST, with a retry budget proportional to observed
+    progress: attempts only count against the budget while the
+    surviving seq set is UNCHANGED between listings — a vacuum that is
+    still deleting (set shrinking) resets it, so a slow vacuum over a
+    10^6-entry prefix can't exhaust a fixed sleep budget and fail a
+    legal concurrent reader. Backfills ``seq`` from the filename so
+    ordering never depends on the entry body."""
     import glob
 
-    for attempt in range(5):
+    prev_seqs: Optional[tuple] = None
+    stalled = 0
+    while True:
         out = []
         for p in sorted(glob.glob(os.path.join(index_dir, LOG_DIR, "*.json"))):
             try:
@@ -160,14 +209,23 @@ def read_log(index_dir: str) -> list[dict]:
             e.setdefault("seq", int(os.path.basename(p).split(".")[0]))
             out.append(e)
         if _log_is_coherent(out):
+            _observe_checkpoint_floor(index_dir, out)
             return out
-        time.sleep(0.05 * (attempt + 1))  # vacuum races settle fast
-    raise RuntimeError(
-        f"torn transaction log at {index_dir}/{LOG_DIR}: entries "
-        f"{[e['seq'] for e in out]} are not a dense run rooted at seq 1 "
-        "or a checkpoint — mid-log files were deleted outside "
-        "vacuum_log_txn, or a vacuum is running with no retention window "
-        "while this reader holds a pre-checkpoint listing")
+        suffix = _checkpoint_rooted_suffix(out)
+        if suffix is not None:
+            _observe_checkpoint_floor(index_dir, suffix)
+            return suffix
+        seqs = tuple(e["seq"] for e in out)
+        stalled = stalled + 1 if seqs == prev_seqs else 0
+        prev_seqs = seqs
+        if stalled >= 5:
+            raise RuntimeError(
+                f"torn transaction log at {index_dir}/{LOG_DIR}: entries "
+                f"{[e['seq'] for e in out]} are not a dense run rooted at "
+                "seq 1 or a checkpoint, contain no checkpoint-rooted dense "
+                "suffix, and stopped changing across retries — mid-log "
+                "files were deleted outside vacuum_log_txn")
+        time.sleep(0.05 * (stalled + 1))
 
 
 def _commit(index_dir: str, doc: dict, *, validate=None,
@@ -191,6 +249,14 @@ def _commit(index_dir: str, doc: dict, *, validate=None,
         # max seq + 1, NOT len(log) + 1: the prefix may be truncated by
         # a log vacuum, and lengths would then re-claim taken numbers
         doc["seq"] = (log[-1]["seq"] + 1) if log else 1
+        # never claim at or below a checkpoint this process has
+        # observed: a zero-retention vacuum racing our listing can make
+        # the log LOOK shorter than a checkpoint we already saw —
+        # claiming there would re-create a pruned seq and gap the log
+        floor = _CP_FLOOR.get(os.path.abspath(index_dir), 0)
+        if doc["seq"] <= floor:
+            time.sleep(0.05)
+            continue  # stale listing — re-read against the fresh log
         doc["committed_at"] = time.time()
         if _publish(_log_path(index_dir, doc["seq"]), doc):
             return doc

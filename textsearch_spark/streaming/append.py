@@ -241,13 +241,21 @@ def _append_locked(
     import shutil
 
     def _run_conflict(prior_run) -> None:
-        if run_id is not None and prior_run is not None and prior_run != run_id:
+        # prior_run None is UNKNOWN provenance, not a pass: our own run
+        # always stamps its run_id into manifests, so a None can only
+        # come from a pre-upgrade manifest or an ad-hoc append — either
+        # way NOT a replay of this run's epoch, and silently skipping
+        # would drop this batch's documents.
+        if run_id is not None and prior_run != run_id:
+            what = (f"a DIFFERENT streaming run ({prior_run})"
+                    if prior_run is not None else
+                    "a writer of UNKNOWN provenance (no recorded run id "
+                    "— a pre-upgrade manifest or an ad-hoc append)")
             raise ValueError(
-                f"epoch {batch_id} was already applied by a DIFFERENT "
-                f"streaming run ({prior_run}); this run ({run_id}) "
-                "restarted epoch ids over the same index — resume the "
-                "original checkpoint_dir, or rebuild/append into a "
-                "fresh index (silently skipping would drop this "
+                f"epoch {batch_id} was already applied by {what}; this "
+                f"run ({run_id}) restarted epoch ids over the same index "
+                "— resume the original checkpoint_dir, or rebuild/append "
+                "into a fresh index (silently skipping would drop this "
                 "batch's documents)")
 
     man_p = append_manifest_path(index_dir, batch_id)
@@ -332,6 +340,37 @@ def _append_locked(
     return metrics
 
 
+def _checkpoint_run_id(checkpoint_dir: str) -> str:
+    """Run identity bound to the checkpoint-dir INSTANCE, not its path.
+
+    The most common way users restart epoch ids at 0 is deleting and
+    recreating the SAME checkpoint directory — a path-based run id
+    would be identical across that reset, so the replayed epochs 0..N
+    would be silently dropped (exactly the bug the run guard exists
+    for). A nonce file written into the checkpoint dir on first use
+    gives each instance a distinct identity: recreate the dir, get a
+    fresh nonce, and the stale-epoch replay fails loudly instead."""
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    nonce_p = os.path.join(checkpoint_dir, "_textsearch_run_nonce")
+    if not os.path.exists(nonce_p):
+        tmp = f"{nonce_p}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+        try:
+            # atomic create-if-absent: two racing starts of the same
+            # checkpoint agree on whichever nonce linked first
+            os.link(tmp, nonce_p)
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+    with open(nonce_p) as f:
+        nonce = f.read().strip()
+    return f"{os.path.abspath(checkpoint_dir)}#{nonce}"
+
+
 def stream_append_to_index(
     stream_df: DataFrame,
     index_dir: str,
@@ -355,7 +394,7 @@ def stream_append_to_index(
     assigned doc ids (must stay above the index's high-water mark);
     None auto-assigns — sources whose rows already carry ``doc_id``
     must pass ``doc_col='doc_id'``."""
-    run_id = os.path.abspath(checkpoint_dir)
+    run_id = _checkpoint_run_id(checkpoint_dir)
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -118,7 +118,10 @@ def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, 
     if batch_id is not None and meta["last_batch_id"] is not None \
             and batch_id <= meta["last_batch_id"]:
         prior_run = meta.get("run_id")
-        if run_id is not None and prior_run is not None and prior_run != run_id:
+        # prior_run None = unknown provenance (pre-upgrade state or an
+        # ad-hoc merge) — NOT a replay of this run's epoch; raise
+        # rather than silently skip (see streaming/append.py)
+        if run_id is not None and prior_run != run_id:
             raise ValueError(
                 f"vocab state {state_dir} was last written by streaming "
                 f"run {prior_run} (epoch {meta['last_batch_id']}); this "
@@ -145,9 +148,13 @@ def stream_vocab(stream_df: DataFrame, cfg: TextConfig, state_dir: str, *,
     """readStream docs -> incremental vocabulary. Returns the started
     StreamingQuery; callers await it (availableNow processes the
     backlog then stops, mirroring block-buffered ingestion). Epoch ids
-    key the committed state, so replays are exactly-once."""
+    key the committed state, so replays are exactly-once. Run identity
+    is bound to the checkpoint-dir INSTANCE (a nonce written on first
+    use), so deleting and recreating the same checkpoint path is a NEW
+    run — its epoch-0 replay fails loudly instead of being dropped."""
+    from .append import _checkpoint_run_id
 
-    run_id = os.path.abspath(checkpoint_dir)
+    run_id = _checkpoint_run_id(checkpoint_dir)
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
