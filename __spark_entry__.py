@@ -318,19 +318,35 @@ def q_qgrams3(spark, sf_dir):
 
 
 def q_encoded_corpus(spark, sf_dir):
-    """EncodedCorpus long form (reference: src/tokcorpus.jl:21-69):
-    (doc_id, pos, term_id) with deterministic dense term ids."""
-    from textsearch_spark.functions.udfs import with_tokens
-    from textsearch_spark.operators.vocab import build_vocab, with_term_ids
+    """EncodedCorpus long form via the PACKAGE operator (reference:
+    src/tokcorpus.jl:21-69): (doc_id, pos, term_id), deterministic
+    dense term ids, positions 1-based over kept tokens (== raw
+    positions here — a full-corpus vocabulary has no OOV drops)."""
+    from textsearch_spark.operators.corpus_encode import encode_corpus
+
+    return encode_corpus(_docs(spark, sf_dir), _cfg())
+
+
+def q_ml_sparse_roundtrip(spark, sf_dir):
+    """SparseVector edge converters end-to-end (SURVEY D6, reference
+    src/sparseconversions.jl:12-37): BOW tf weights -> actual
+    pyspark.ml SparseVector column -> back to long form. The round
+    trip is the identity on the long form, so the oracle is the plain
+    BOW — any drift in either converter (index shift, dropped entry,
+    densify bug) breaks the value hash."""
+    from textsearch_spark.operators.dvec import from_ml_vectors, to_ml_vectors
+    from textsearch_spark.operators.vocab import (bow_from_tokens, build_vocab,
+                                                  with_term_ids)
+    from textsearch_spark.functions.udfs import exploded_tokens
 
     docs = _docs(spark, sf_dir)
-    voc = with_term_ids(build_vocab(docs, _cfg()))
-    toks = with_tokens(docs, _cfg()).select(
-        "doc_id", F.posexplode("tokens").alias("pos0", "token")
-    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
-    return toks.join(voc.select("token", "term_id"), "token").select(
-        "doc_id", "pos", F.col("term_id").cast("long").alias("term_id")
-    )
+    ids = with_term_ids(build_vocab(docs, _cfg())).select(
+        "token", F.col("term_id").alias("token_id"))
+    bow = bow_from_tokens(exploded_tokens(docs, _cfg()))
+    vecs = bow.select("doc_id", "token", F.col("tf").cast("double").alias("weight"))
+    ml = to_ml_vectors(vecs, ids)
+    return from_ml_vectors(ml, ids).select(
+        "doc_id", "token", F.col("weight").alias("tf_weight"))
 
 
 def q_content_sha(spark, sf_dir):
@@ -923,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tests/test_oracle_overflow.py (redundant variants only)
         "freq_binary_vectorize": q_freq_binary,
         "bm25_topk_txnlog": q_bm25_topk_txnlog,
+        "ml_sparse_roundtrip": q_ml_sparse_roundtrip,
         # ---- rows-only entries (no SQL oracle) stay last
         "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,
     }
@@ -1137,6 +1154,8 @@ ids AS (SELECT token, row_number() OVER (ORDER BY ndocs DESC, token ASC)::BIGINT
 SELECT p.doc_id, p.pos::BIGINT AS pos, i.term_id FROM pos p JOIN ids i USING (token)
 """,
         "content_sha": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+        "ml_sparse_roundtrip":
+            f"SELECT doc_id, token, tf::DOUBLE AS tf_weight FROM ({_BOW})",
     }
     sqls.update(_pipeline_oracles())
     sqls.update(_extra_oracles())

@@ -228,3 +228,54 @@ def test_wand_typo_differential(spark):
     wand = search_bm25_wand(idx, qdf, k=10, typo_tolerant=True, n_buckets=3).collect()
     _assert_rank_identical(naive, wand)
     assert naive  # the misspelled terms still resolve and score
+
+
+def test_wand_kernel_group_mode_differential(spark, zipf_index):
+    """group_mode='kernel' (r04 verdict item 7): identical results to
+    shuffle mode, and blocks_decoded stays FLAT as query_groups rises
+    (the shared decode cache — shuffle mode re-decodes per group)."""
+    from textsearch_spark.operators.wand import WandCounters
+
+    corpus, idx = zipf_index
+    qdf = _zipf_queries(spark, corpus, 64).cache()
+    qdf.count()
+    base = search_bm25_wand(idx, qdf, k=10, n_buckets=4, query_groups=1).collect()
+
+    decoded = {}
+    for qg in (1, 4, 8):
+        ctr = WandCounters(spark)
+        got = search_bm25_wand(idx, qdf, k=10, n_buckets=4, query_groups=qg,
+                               group_mode="kernel", counters=ctr).collect()
+        _assert_rank_identical(base, got)
+        decoded[qg] = ctr.blocks_decoded.value
+    # each blob decodes exactly once per bucket regardless of groups
+    assert decoded[1] == decoded[4] == decoded[8] > 0
+
+    # shuffle mode's decode count GROWS with groups on the same batch —
+    # the cost kernel mode exists to remove (sanity that the comparison
+    # is meaningful, not a no-op corpus)
+    ctr1, ctr8 = WandCounters(spark), WandCounters(spark)
+    search_bm25_wand(idx, qdf, k=10, n_buckets=4, query_groups=1,
+                     counters=ctr1).count()
+    search_bm25_wand(idx, qdf, k=10, n_buckets=4, query_groups=8,
+                     counters=ctr8).count()
+    assert ctr8.blocks_decoded.value > ctr1.blocks_decoded.value
+
+
+def test_wand_adaptive_defaults(spark, zipf_index):
+    """Knob-free call (r04 verdict item 8): n_buckets and query_groups
+    both default adaptively and the result matches explicit knobs."""
+    from textsearch_spark.operators.wand import (
+        MAX_DEFAULT_QUERY_GROUPS, _default_n_buckets, _default_query_groups)
+
+    corpus, idx = zipf_index
+    qdf = _zipf_queries(spark, corpus, 32).cache()
+    base = search_bm25_wand(idx, qdf, k=10, n_buckets=4, query_groups=2).collect()
+    got = search_bm25_wand(idx, qdf, k=10).collect()  # no knobs at all
+    _assert_rank_identical(base, got)
+
+    nb = _default_n_buckets(idx)
+    qg = _default_query_groups(idx, nb)
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert 1 <= qg <= MAX_DEFAULT_QUERY_GROUPS
+    assert qg == max(1, min(MAX_DEFAULT_QUERY_GROUPS, shuffle // nb))

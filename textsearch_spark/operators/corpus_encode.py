@@ -54,7 +54,7 @@ def encode_corpus(docs: DataFrame, cfg: TextConfig, vocab: Optional[DataFrame] =
     (src/tokcorpus.jl:38-43). With a vocabulary fit on the same corpus
     no token is OOV, so ``pos`` equals the raw token position."""
     ids = _vocab_ids(docs, cfg, vocab, doc_col, text_col)
-    toks = with_tokens(docs, cfg, doc_col=doc_col, text_col=text_col).select(
+    toks = with_tokens(docs, cfg, text_col=text_col).select(
         doc_col, F.posexplode("tokens").alias("__rawpos", "token")
     )
     kept = toks.join(ids, "token")

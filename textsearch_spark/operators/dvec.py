@@ -7,6 +7,8 @@ the cosine/angle distances (src/dvec.jl:319-379).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -181,6 +183,84 @@ def from_indexed(indexed: DataFrame, token_ids: DataFrame, *, id_col: str = "doc
     return x.join(F.broadcast(token_ids.select("token", "token_id")), "token_id").select(
         id_col, "token", "weight"
     )
+
+
+def to_ml_vectors(vecs: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_id",
+                  dim: Optional[int] = None, vector_col: str = "vector") -> DataFrame:
+    """Long form -> ``(id, vector)`` with an actual
+    ``pyspark.ml.linalg.SparseVector`` column (SURVEY D6; the
+    reference's ``sparsevec`` conversion, src/sparseconversions.jl:
+    21-37) so Spark-ML consumers use the vectorize output directly.
+
+    ``token_ids`` maps (token, token_id) with 0-based ML indices;
+    1-based ids (``with_term_ids``'s ``term_id``) are shifted down
+    automatically when ``dim`` is derived. The empty-doc sentinel
+    (EMPTY_SENTINEL, src/vmodel.jl's ``{0 => 1f0}``) carries no
+    in-vocabulary term, so an empty/all-OOV doc comes out as an
+    all-zero SparseVector of the right dimension — still one row per
+    input vector id.
+
+    VectorUDT is not Arrow-representable, so the final constructor is a
+    plain Python UDF over the two pre-assembled arrays — an API-EDGE
+    converter by design (per-row work is two array handoffs; all the
+    heavy lifting — join, group, sort — happened JVM-side upstream).
+    """
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    ids = token_ids.select("token", F.col("token_id").cast("int").alias("token_id"))
+    lo_hi = ids.agg(F.min("token_id"), F.max("token_id")).first()
+    lo = int(lo_hi[0] or 0)
+    if lo >= 1:  # 1-based term ids: shift to 0-based ML indices
+        ids = ids.withColumn("token_id", F.col("token_id") - 1)
+        lo_hi = (lo_hi[0] - 1, lo_hi[1] - 1)
+    if dim is None:
+        dim = int(lo_hi[1]) + 1
+    from ..functions.weighting import EMPTY_SENTINEL
+
+    idx = to_indexed(vecs.filter(F.col("token") != EMPTY_SENTINEL), ids, id_col=id_col)
+    all_ids = vecs.select(id_col).distinct()
+    filled = all_ids.join(idx, id_col, "left").select(
+        id_col,
+        F.coalesce("indices", F.array().cast("array<int>")).alias("indices"),
+        F.coalesce("values", F.array().cast("array<double>")).alias("values"),
+    )
+
+    @F.udf(returnType=VectorUDT())
+    def _mk(indices, values):
+        return SparseVector(dim, indices, values)
+
+    return filled.select(id_col, _mk("indices", "values").alias(vector_col))
+
+
+def from_ml_vectors(df: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_id",
+                    vector_col: str = "vector") -> DataFrame:
+    """Inverse of :func:`to_ml_vectors`: ``(id, vector)`` -> long form
+    ``(id, token, weight)`` (the reference's ``dvec(sparsevector)``,
+    src/sparseconversions.jl:12-14 — zeros stay absent, so an all-zero
+    vector yields no rows, like the reference's empty DVEC). Extracts
+    (indices, values) sparsely — never densifies, so a 10^6-dim
+    vocabulary costs only nnz per row."""
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    pair_t = ArrayType(StructType([
+        StructField("token_id", IntegerType()), StructField("weight", DoubleType())]))
+
+    @F.udf(returnType=pair_t)
+    def _pairs(v):
+        if v is None:
+            return []
+        if hasattr(v, "indices"):  # SparseVector
+            return [(int(i), float(x)) for i, x in zip(v.indices, v.values)]
+        return [(i, float(x)) for i, x in enumerate(v) if x != 0.0]  # DenseVector
+
+    ids = token_ids.select("token", F.col("token_id").cast("int").alias("token_id"))
+    lo = ids.agg(F.min("token_id")).first()[0]
+    if lo is not None and int(lo) >= 1:
+        ids = ids.withColumn("token_id", F.col("token_id") - 1)
+    x = df.select(id_col, F.explode(_pairs(vector_col)).alias("__p")).select(
+        id_col, F.col("__p.token_id").alias("token_id"), F.col("__p.weight").alias("weight"))
+    return x.join(F.broadcast(ids), "token_id").select(id_col, "token", "weight")
 
 
 def pairwise_dot(a: DataFrame, b: DataFrame, *, a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:

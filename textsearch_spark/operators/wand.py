@@ -102,7 +102,8 @@ class WandCounters:
 
 
 def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int,
-                   counters: Optional[WandCounters] = None):
+                   counters: Optional[WandCounters] = None,
+                   kernel_split: bool = False):
     """applyInPandas kernel: one (bucket, query_group)'s candidate
     blocks (bare (token, block) rows — NO per-row query lists) ->
     local top-k (query_id, doc_id, score) for every query.
@@ -113,7 +114,18 @@ def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int,
     row matters enormously for dense batches: a stop-wordish token
     carried the full batch's id list on every one of its block rows
     (8192 ids x 8B x blocks = GBs over the shuffle + Arrow), ~30x the
-    compressed postings themselves."""
+    compressed postings themselves.
+
+    ``kernel_split=True`` (group_mode='kernel'): ONE task per bucket
+    processes the whole batch, splitting the signature loop across a
+    ``query_groups``-thread pool INSTEAD of sharding queries across
+    (bucket, group) tasks. The decode cache is shared (lock-guarded,
+    each blob decodes exactly once per bucket no matter the group
+    count — the r04 verdict's crossJoin caveat); each thread owns its
+    dense accumulator. Trade-off: no blob re-ship/re-decode per group,
+    but intra-task parallelism is Python threads (numpy releases the
+    GIL for the array ops; decode serializes through the cache lock),
+    so shuffle mode remains the default for modest group counts."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -142,18 +154,31 @@ def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int,
             # doc ids from the per-block offsets — refuse loudly
             raise ValueError(f"bucket holds blocks with mixed spans {sorted(spans)}")
         span = int(spans[0])
-        qgrp = int(pdf["qgrp"].iloc[0]) if query_groups > 1 else 0
+        sharded = query_groups > 1 and not kernel_split
+        qgrp = int(pdf["qgrp"].iloc[0]) if sharded else 0
 
         decoded: dict[int, tuple] = {}
+        dec_lock = __import__("threading").Lock() if kernel_split else None
+
+        def _decode(i: int):
+            d, tf, dl = decode_block(bytes(blobs[i]))
+            # offsets within the block's aligned doc range
+            off = d.astype(np.int64) - int(bids[i]) * span
+            return (off, tokenscore_np(bm25, np.full(len(d), nds[i]), dl, tf))
 
         def get(i: int):
             hit = decoded.get(i)
             if hit is None:
-                d, tf, dl = decode_block(bytes(blobs[i]))
-                # offsets within the block's aligned doc range
-                off = d.astype(np.int64) - int(bids[i]) * span
-                hit = (off, tokenscore_np(bm25, np.full(len(d), nds[i]), dl, tf))
-                decoded[i] = hit
+                if dec_lock is None:
+                    hit = decoded[i] = _decode(i)
+                else:
+                    # double-checked under the lock: each blob decodes
+                    # exactly ONCE per bucket regardless of thread
+                    # count (keeps blocks_decoded flat vs query_groups)
+                    with dec_lock:
+                        hit = decoded.get(i)
+                        if hit is None:
+                            hit = decoded[i] = _decode(i)
             return hit
 
         # token -> its candidate rows in this bucket (pdf was sorted
@@ -170,86 +195,109 @@ def _bucket_kernel(bm25: FoldedBM25, k: int, bq, query_groups: int,
         # former per-row inversion (token-sorted, stable within token).
         by_sig: dict[tuple, list] = {}
         for qid, qtoks in bq.value.items():
-            if query_groups > 1 and qid % query_groups != qgrp:
+            if sharded and qid % query_groups != qgrp:
                 continue
             sig = tuple(sorted(t for t in qtoks if t in tok2rows))
             if sig:
                 by_sig.setdefault(sig, []).append(qid)
         by_sig = {s: sorted(q) for s, q in sorted(by_sig.items())}
 
-        # span-sized dense accumulator, reused across (query, range):
-        # doc ids inside one term block are unique, so scoring a range is
-        # plain fancy-indexed adds — no sort/unique/add.at anywhere
-        dense = np.zeros(span)
+        def run_sigs(items):
+            """Score a list of (sig, qids) items; owns its dense
+            accumulator, so threads never share mutable score state.
+            Per-sig work is fully independent and deterministic — the
+            split (serial / threaded) cannot change any result row."""
+            # span-sized dense accumulator, reused across (query, range):
+            # doc ids inside one term block are unique, so scoring a
+            # range is plain fancy-indexed adds — no sort/unique/add.at
+            dense = np.zeros(span)
+            n_scored = n_pruned = 0
+            out_q, out_d, out_s = [], [], []
+            for sig, qids in items:
+                # rows in token order (deterministic summation)
+                idxs = [i for t in sig for i in tok2rows[t]]
+                by_block: dict[int, list] = {}
+                for i in idxs:
+                    by_block.setdefault(int(bids[i]), []).append(i)
+                # doc ranges in descending upper bound (sum of block maxima)
+                bounds = sorted(
+                    ((sum(maximp[i] for i in lst), b) for b, lst in by_block.items()),
+                    reverse=True,
+                )
 
-        n_scored = n_pruned = 0
-        out_q, out_d, out_s = [], [], []
-        for sig, qids in by_sig.items():
-            # rows in token order (deterministic summation)
-            idxs = [i for t in sig for i in tok2rows[t]]
-            by_block: dict[int, list] = {}
-            for i in idxs:
-                by_block.setdefault(int(bids[i]), []).append(i)
-            # doc ranges in descending upper bound (sum of block maxima)
-            bounds = sorted(
-                ((sum(maximp[i] for i in lst), b) for b, lst in by_block.items()),
-                reverse=True,
-            )
+                top_docs = np.empty(0, dtype=np.int64)
+                top_scores = np.empty(0, dtype=np.float64)
+                theta = -np.inf
+                for ri, (bound, b) in enumerate(bounds):
+                    if len(top_docs) >= k and bound < theta:
+                        n_pruned += len(bounds) - ri
+                        break  # every remaining range is bounded lower (BMW prune)
+                    n_scored += 1
+                    rows = by_block[b]
+                    if len(rows) == 1:
+                        # single term: its posting list IS the (doc, score) set
+                        off, scores = get(rows[0])
+                        docs = off + b * span
+                    else:
+                        for i in rows:
+                            off, s = get(i)
+                            dense[off] += s
+                        # np.flatnonzero relies on the BM25+ positive-impact
+                        # invariant (idf=log(1+x) with x>0, delta>=0, tf>=1
+                        # => every contribution > 0, so an accumulated score
+                        # is 0.0 iff untouched). search_bm25_wand asserts the
+                        # invariant once per call; see FoldedBM25 docs.
+                        touched = np.flatnonzero(dense)
+                        scores = dense[touched].copy()
+                        dense[touched] = 0.0
+                        docs = touched + b * span
 
-            top_docs = np.empty(0, dtype=np.int64)
-            top_scores = np.empty(0, dtype=np.float64)
-            theta = -np.inf
-            for ri, (bound, b) in enumerate(bounds):
-                if len(top_docs) >= k and bound < theta:
-                    n_pruned += len(bounds) - ri
-                    break  # every remaining range is bounded lower (BMW prune)
-                n_scored += 1
-                rows = by_block[b]
-                if len(rows) == 1:
-                    # single term: its posting list IS the (doc, score) set
-                    off, scores = get(rows[0])
-                    docs = off + b * span
-                else:
-                    for i in rows:
-                        off, s = get(i)
-                        dense[off] += s
-                    # np.flatnonzero relies on the BM25+ positive-impact
-                    # invariant (idf=log(1+x) with x>0, delta>=0, tf>=1
-                    # => every contribution > 0, so an accumulated score
-                    # is 0.0 iff untouched). search_bm25_wand asserts the
-                    # invariant once per call; see FoldedBM25 docs.
-                    touched = np.flatnonzero(dense)
-                    scores = dense[touched].copy()
-                    dense[touched] = 0.0
-                    docs = touched + b * span
+                    if len(top_docs):
+                        docs = np.concatenate([top_docs, docs])
+                        scores = np.concatenate([top_scores, scores])
+                    if len(docs) > k:
+                        # O(n) top-k by (-score, doc asc) — argpartition for
+                        # the score threshold, doc-ordered tie-break at the
+                        # boundary (rank-identical to a full lexsort+trim)
+                        neg = -scores
+                        kth = np.partition(neg, k - 1)[k - 1]
+                        strict = np.flatnonzero(neg < kth)
+                        need = k - len(strict)
+                        ties = np.flatnonzero(neg == kth)
+                        if need <= 0:
+                            ties = ties[:0]
+                        elif len(ties) > need:
+                            tdocs = docs[ties]
+                            ties = ties[np.argpartition(tdocs, need - 1)[:need]]
+                        sel = np.concatenate([strict, ties])
+                        docs, scores = docs[sel], scores[sel]
+                    top_docs, top_scores = docs, scores
+                    if len(top_docs) >= k:
+                        theta = top_scores.min()
 
-                if len(top_docs):
-                    docs = np.concatenate([top_docs, docs])
-                    scores = np.concatenate([top_scores, scores])
-                if len(docs) > k:
-                    # O(n) top-k by (-score, doc asc) — argpartition for
-                    # the score threshold, doc-ordered tie-break at the
-                    # boundary (rank-identical to a full lexsort+trim)
-                    neg = -scores
-                    kth = np.partition(neg, k - 1)[k - 1]
-                    strict = np.flatnonzero(neg < kth)
-                    need = k - len(strict)
-                    ties = np.flatnonzero(neg == kth)
-                    if need <= 0:
-                        ties = ties[:0]
-                    elif len(ties) > need:
-                        tdocs = docs[ties]
-                        ties = ties[np.argpartition(tdocs, need - 1)[:need]]
-                    sel = np.concatenate([strict, ties])
-                    docs, scores = docs[sel], scores[sel]
-                top_docs, top_scores = docs, scores
-                if len(top_docs) >= k:
-                    theta = top_scores.min()
+                for qid in qids:
+                    out_q.append(np.full(len(top_docs), qid, dtype=np.int64))
+                    out_d.append(top_docs)
+                    out_s.append(top_scores)
+            return out_q, out_d, out_s, n_scored, n_pruned
 
-            for qid in qids:
-                out_q.append(np.full(len(top_docs), qid, dtype=np.int64))
-                out_d.append(top_docs)
-                out_s.append(top_scores)
+        items = list(by_sig.items())
+        if kernel_split and query_groups > 1 and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            nthreads = min(query_groups, len(items))
+            # round-robin keeps expensive signatures spread over threads
+            chunks = [items[t::nthreads] for t in range(nthreads)]
+            with ThreadPoolExecutor(nthreads) as ex:
+                results = list(ex.map(run_sigs, chunks))
+        else:
+            results = [run_sigs(items)]
+
+        out_q = [a for r in results for a in r[0]]
+        out_d = [a for r in results for a in r[1]]
+        out_s = [a for r in results for a in r[2]]
+        n_scored = sum(r[3] for r in results)
+        n_pruned = sum(r[4] for r in results)
 
         if counters is not None:
             counters.block_rows += len(pdf)
@@ -270,12 +318,33 @@ def _default_n_buckets(index: BM25Index) -> int:
     """Estimate the block-id space from fit-time stats (ids start at
     the low doc ids, so n_blocks ~= n_docs/span); one tiny limit(1)
     job fetches the span. Bucket so each bucket holds >=
-    MIN_RANGES_PER_BUCKET (32) doc ranges."""
+    MIN_RANGES_PER_BUCKET (32) doc ranges — pruning depth first;
+    :func:`_default_query_groups` then restores task parallelism from
+    whatever bucket count this picks (the two defaults are designed as
+    a pair — callers with no knobs get both)."""
     span_row = index.blocks.select("span").limit(1).collect()
     span = int(span_row[0][0]) if span_row else 4096
     n_blocks = max(1, -(-int(index.n_docs) // span))
     shuffle = int(index.spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return max(1, min(shuffle, n_blocks // MIN_RANGES_PER_BUCKET))
+
+
+MAX_DEFAULT_QUERY_GROUPS = 16
+
+
+def _default_query_groups(index: BM25Index, n_buckets: int) -> int:
+    """Fill the shuffle-partition budget: ``shuffle_partitions /
+    n_buckets`` groups, capped at MAX_DEFAULT_QUERY_GROUPS (16) —
+    each group re-ships its bucket's blobs in shuffle mode, so
+    unbounded groups trade network for parallelism past the point the
+    task count needs it. Measured on the 120k-doc Zipf corpus this
+    reproduces the bench-tuned 16-group setting (r04 verdict item 8)
+    whenever the bucket count is small, and degrades to 1 group when
+    buckets alone already cover the task slots (the dense corpus
+    shape, where one bucket per block and a single group measured
+    equal-or-faster than 2/4 groups at both core counts)."""
+    shuffle = int(index.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(1, min(MAX_DEFAULT_QUERY_GROUPS, shuffle // max(1, n_buckets)))
 
 
 def search_bm25_wand(
@@ -286,7 +355,8 @@ def search_bm25_wand(
     query_col: str = "qtext",
     id_col: str = "query_id",
     n_buckets: Optional[int] = None,
-    query_groups: int = 1,
+    query_groups: Optional[int] = None,
+    group_mode: str = "shuffle",
     typo_tolerant: bool = False,
     maxdist: float = 0.7,
     prune_scan: bool = True,
@@ -297,7 +367,9 @@ def search_bm25_wand(
 ) -> DataFrame:
     """(query_id, rank, doc_id, score) — rank-identical to search_bm25.
 
-    Two independent knobs shape the scoring stage:
+    Two independent knobs shape the scoring stage — BOTH have adaptive
+    defaults, so knob-free callers get near-optimal parallelism on
+    both corpus shapes (r04 verdict item 8):
 
     - ``n_buckets`` — how many doc-range buckets the block space folds
       into. FEWER buckets = more ranges per bucket = deeper BMW pruning
@@ -313,7 +385,20 @@ def search_bm25_wand(
       set). Per-query work is independent of this knob, which is what
       keeps N-vs-4N scaling comparisons honest; the cost of higher
       values is that each query group re-ships and re-decodes its
-      bucket's blobs.
+      bucket's blobs. Default: ``min(16, shuffle_partitions /
+      n_buckets)`` (see ``_default_query_groups``).
+    - ``group_mode`` — HOW the query groups execute. ``'shuffle'``
+      (default): each (bucket, group) is its own task — full process
+      parallelism, but each group re-ships/re-decodes its bucket's
+      blobs. ``'kernel'``: one task per bucket; the signature loop is
+      split across a ``query_groups``-thread pool inside the kernel
+      with a SHARED decode cache — each blob crosses the wire and
+      decodes exactly once per bucket regardless of group count
+      (measured: ``blocks_decoded`` flat as query_groups rises).
+      Results are identical by construction (per-signature work is
+      independent; tested differentially). Prefer 'kernel' when the
+      group count would otherwise be high enough that blob re-shipping
+      dominates (very large batches over few buckets).
 
     For large batches over modest block counts (the common shape), pick
     n_buckets so each bucket holds >= MIN_RANGES_PER_BUCKET ranges and
@@ -338,9 +423,13 @@ def search_bm25_wand(
     # term > 0); a future weighting variant with zero/negative
     # contributions must not reuse this kernel unchecked.
     assert index.bm25.delta >= 0.0, "WAND requires delta >= 0 (positive impacts)"
+    if group_mode not in ("shuffle", "kernel"):
+        raise ValueError(f"group_mode must be 'shuffle' or 'kernel', got {group_mode!r}")
     spark = index.spark
     if n_buckets is None:
         n_buckets = _default_n_buckets(index)
+    if query_groups is None:
+        query_groups = _default_query_groups(index, n_buckets)
 
     q = query_tokens(index, queries, query_col=query_col, id_col=id_col,
                      typo_tolerant=typo_tolerant, maxdist=maxdist)
@@ -411,14 +500,18 @@ def search_bm25_wand(
         blocks = blocks.filter(F.col("token").isin(terms))
     qtok = spark.createDataFrame([(t,) for t in terms], "token string")
     cand = blocks.join(F.broadcast(qtok), "token")
-    if query_groups > 1:
+    kernel_split = group_mode == "kernel"
+    if query_groups > 1 and not kernel_split:
         groups = spark.range(query_groups).select(F.col("id").cast("int").alias("qgrp"))
         cand = cand.crossJoin(F.broadcast(groups))
     else:
+        # kernel mode: ONE task per bucket — blobs ship/decode once;
+        # the thread pool inside the kernel supplies the group split
         cand = cand.withColumn("qgrp", F.lit(0))
     cand = cand.withColumn("bucket", F.pmod(F.col("block_id"), F.lit(n_buckets)))
     local = cand.groupBy("bucket", "qgrp").applyInPandas(
-        _bucket_kernel(index.bm25, k, bq, query_groups, counters), _OUT_SCHEMA
+        _bucket_kernel(index.bm25, k, bq, query_groups, counters,
+                       kernel_split=kernel_split), _OUT_SCHEMA
     )
     if idmap is not None:
         local = (
