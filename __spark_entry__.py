@@ -883,6 +883,49 @@ def q_bm25_topk_txnlog(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def q_bm25_topk_catalog(spark, sf_dir):
+    """The catalog-table backend end-to-end (sources/catalog.py): save
+    the index as catalog tables (V2 ``writeTo`` when an Iceberg/Delta
+    catalog is configured; session-catalog managed parquet here),
+    append two batches as table appends + commit-log rows, compact the
+    blocks table via REPLACE, then WAND top-k over the loaded snapshot.
+    Same closed-form frozen-stat oracle as bm25_topk_appended — no step
+    of the lifecycle may change any score."""
+    import uuid
+
+    from textsearch_spark.operators.postings import build_posting_blocks
+    from textsearch_spark.operators.wand import search_bm25_wand
+    from textsearch_spark.plans.build import build_bm25_index
+    from textsearch_spark.sources import catalog as cat
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    q3 = (mid * 3) // 2
+    base = docs.filter(F.col("doc_id") <= mid)
+    prefix = f"ts_oracle_{uuid.uuid4().hex[:10]}"
+    io = cat._TableIO(spark, prefix)
+    try:
+        idx = build_bm25_index(base, _cfg())
+        idx.blocks = build_posting_blocks(idx.postings, span=256)
+        cat.save_index_catalog(idx, prefix)
+        cat.append_batch_catalog(
+            spark, prefix,
+            docs.filter((F.col("doc_id") > mid) & (F.col("doc_id") <= q3)),
+            doc_col="doc_id", batch_id="e0")
+        cat.append_batch_catalog(
+            spark, prefix, docs.filter(F.col("doc_id") > q3),
+            doc_col="doc_id", batch_id="e1")
+        cat.compact_index_catalog(spark, prefix)
+        idx2 = cat.load_index_catalog(spark, prefix)
+        res = search_bm25_wand(idx2, _query_df(spark), TOP_K).select(
+            "query_id", "rank", "doc_id", F.round("score", 4).alias("score4")
+        )
+        # materialize before the catalog tables are dropped
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        io.drop_all()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "vocab_unigrams": q_vocab,
@@ -933,11 +976,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_typo": q_bm25_topk_typo,
         "media_headers": q_media_headers,
         "bm25_topk_appended": q_bm25_topk_appended,
-        "bm25_topk_compacted": q_bm25_topk_compacted,
+        "bm25_topk_catalog": q_bm25_topk_catalog,
         "bm25_topk_wand_chunked": q_bm25_topk_wand_chunked,
         # ---- past the driver window: oracle entries below are checked
         # by tests/test_oracle_overflow.py (redundant variants only)
         "freq_binary_vectorize": q_freq_binary,
+        "bm25_topk_compacted": q_bm25_topk_compacted,
         "bm25_topk_txnlog": q_bm25_topk_txnlog,
         "ml_sparse_roundtrip": q_ml_sparse_roundtrip,
         # ---- rows-only entries (no SQL oracle) stay last
@@ -1164,8 +1208,10 @@ SELECT p.doc_id, p.pos::BIGINT AS pos, i.term_id FROM pos p JOIN ids i USING (to
     # the batched+compacted append == the single-shot append SQL
     sqls["bm25_topk_wand_chunked"] = sqls["bm25_topk_wand"]
     sqls["bm25_topk_compacted"] = sqls["bm25_topk_appended"]
-    # the txnlog backend must serve the identical frozen-stat scores
+    # the txnlog and catalog backends must serve the identical
+    # frozen-stat scores
     sqls["bm25_topk_txnlog"] = sqls["bm25_topk_appended"]
+    sqls["bm25_topk_catalog"] = sqls["bm25_topk_appended"]
     return sqls
 
 

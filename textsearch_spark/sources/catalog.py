@@ -1,0 +1,286 @@
+"""Catalog-table index backend: the save / load / append / compact
+lifecycle against tables resolved through ``spark.catalog`` (r04
+verdict item 2; north rule: "over Iceberg tables"; reference lifecycle
+src/io.jl:6-35).
+
+The repo's other two backends commit through filesystem primitives
+(rename manifests, ``sources/io.py``; an ordered create-if-absent
+transaction log, ``sources/txnlog.py``). This one stores every index
+table as a CATALOG TABLE, so the index is visible to every
+catalog-aware engine (Spark SQL, Trino, Flink) by name, and on an ACID
+table format the format's own snapshot machinery replaces the
+hand-rolled commit protocols:
+
+- **V2 path** (an Iceberg/Delta catalog configured via
+  ``spark.sql.catalog.<name>`` — the production target): all writes go
+  through the DataFrameWriterV2 — ``writeTo(t).create()`` at save,
+  ``writeTo(t).append()`` per append batch (one atomic snapshot
+  commit), ``writeTo(t).replace()`` for compaction (atomic
+  REPLACE TABLE AS SELECT — Iceberg's RewriteFiles shape). Snapshot
+  isolation, conflict detection, and time travel come from the format.
+- **V1 path** (no such jar on the classpath — this container): the
+  SAME lifecycle through the session catalog as managed parquet tables
+  (``saveAsTable`` append / staged-swap overwrite). Functionally
+  complete and conformance-tested, but NOT concurrency-safe: the
+  session catalog gives no multi-writer atomicity (the compact swap is
+  drop+rename). Single-writer / test use; concurrent production use
+  belongs on the V2 path or the txnlog backend.
+
+The two paths are picked per table identifier: a multipart name whose
+first part matches a configured ``spark.sql.catalog.*`` entry uses V2.
+
+Layout: one namespace prefix owns six tables —
+``{p}_meta`` (single JSON row: TextConfig, folded BM25, N, avgdl),
+``{p}_vocab``, ``{p}_qgrams``, ``{p}_postings``, ``{p}_doclens``,
+``{p}_blocks``, plus ``{p}_log`` — an append-only commit-log table
+(op, batch_id, last_doc, n_block_rows, committed_at) serving the
+high-water-mark fold and streaming batch dedupe exactly like the
+txnlog's entries (metadata folds over the log, never a table scan).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BM25Params, FoldedBM25, TextConfig
+from ..plans.build import BM25Index
+
+_LOG_SCHEMA = ("op string, batch_id string, last_doc long, "
+               "n_block_rows long, committed_at double")
+
+
+def _is_v2_identifier(spark: SparkSession, name: str) -> bool:
+    """True when ``name``'s leading part names a configured V2 catalog
+    (e.g. ``spark.sql.catalog.lake = ...iceberg.SparkCatalog``) — those
+    tables take the DataFrameWriterV2 operations; session-catalog
+    parquet tables are V1 and reject them (probed empirically)."""
+    head = name.split(".", 1)[0]
+    try:
+        spark.conf.get(f"spark.sql.catalog.{head}")
+        return True
+    except Exception:
+        return False
+
+
+class _TableIO:
+    """The V1/V2 seam: create / append / replace / read / drop on one
+    catalog, chosen once per index prefix."""
+
+    def __init__(self, spark: SparkSession, prefix: str, using: Optional[str] = None):
+        self.spark = spark
+        self.prefix = prefix
+        self.v2 = _is_v2_identifier(spark, prefix)
+        # Iceberg catalogs default their own format; session catalog
+        # gets parquet managed tables
+        self.using = using or ("iceberg" if self.v2 else "parquet")
+
+    def t(self, suffix: str) -> str:
+        return f"{self.prefix}_{suffix}"
+
+    def create(self, df: DataFrame, suffix: str) -> None:
+        name = self.t(suffix)
+        if self.v2:
+            df.writeTo(name).using(self.using).createOrReplace()
+        else:
+            df.write.format(self.using).mode("overwrite").saveAsTable(name)
+
+    def append(self, df: DataFrame, suffix: str) -> None:
+        name = self.t(suffix)
+        if self.v2:
+            df.writeTo(name).append()  # one atomic snapshot commit
+        else:
+            df.write.format(self.using).mode("append").saveAsTable(name)
+
+    def replace(self, df: DataFrame, suffix: str) -> None:
+        """Atomic on V2 (REPLACE TABLE AS SELECT); staged-swap on V1 —
+        the input plan reads the table being replaced, so V1 must
+        materialize into a staging table first (Spark refuses to
+        overwrite a table into which the running query reads), then
+        drop+rename. The V1 swap window is the documented
+        single-writer limitation."""
+        name = self.t(suffix)
+        if self.v2:
+            df.writeTo(name).using(self.using).replace()
+            return
+        staged = f"{name}__staged"
+        self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        df.write.format(self.using).saveAsTable(staged)
+        self.spark.sql(f"DROP TABLE {name}")
+        self.spark.sql(f"ALTER TABLE {staged} RENAME TO {name}")
+
+    def read(self, suffix: str) -> DataFrame:
+        return self.spark.table(self.t(suffix))
+
+    def exists(self, suffix: str) -> bool:
+        return self.spark.catalog.tableExists(self.t(suffix))
+
+    def drop_all(self) -> None:
+        for s in ("meta", "vocab", "qgrams", "postings", "doclens",
+                  "blocks", "log"):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.t(s)}")
+
+
+def save_index_catalog(index: BM25Index, prefix: str, *,
+                       using: Optional[str] = None,
+                       with_qgrams: bool = True) -> None:
+    """Persist a block BM25Index as catalog tables under ``prefix``
+    (reference save lifecycle src/io.jl:6-18). Postings/blocks are
+    written token-clustered (repartition+sortWithinPartitions) so the
+    format's file/row-group statistics give token min-max pruning at
+    query time — same physical layout as the filesystem backends."""
+    assert index.blocks is not None, "catalog backend expects a block index"
+    spark = index.spark
+    io = _TableIO(spark, prefix, using)
+    meta = {
+        "backend": "catalog",
+        "textconfig": json.loads(index.cfg.to_json()),
+        "bm25": json.loads(index.bm25.to_json()),
+        "params": {"k1": index.params.k1, "b": index.params.b,
+                   "delta": index.params.delta},
+        "n_docs": index.n_docs,
+        "avgdl": index.avgdl,
+    }
+    io.create(spark.createDataFrame([(json.dumps(meta, sort_keys=True),)],
+                                    "meta_json string"), "meta")
+    io.create(index.vocab, "vocab")
+    if with_qgrams:
+        from ..operators.approxvoc import build_qgram_index
+
+        q = index.qgrams if index.qgrams is not None else build_qgram_index(index.vocab)
+        io.create(q.repartition("gram").sortWithinPartitions("gram", "vtoken"),
+                  "qgrams")
+    io.create(index.postings.repartition("token")
+              .sortWithinPartitions("token", "doc_id"), "postings")
+    io.create(index.doclens, "doclens")
+    io.create(index.blocks.repartition("token")
+              .sortWithinPartitions("token", "block_id"), "blocks")
+
+    if index.last_doc is not None:
+        last_doc = int(index.last_doc)
+    else:
+        last_doc = int(index.doclens.agg(F.max("doc_id")).collect()[0][0] or 0)
+    n_rows = io.read("blocks").count()
+    io.create(spark.createDataFrame(
+        [("init", None, last_doc, n_rows, time.time())], _LOG_SCHEMA), "log")
+
+
+def load_index_catalog(spark: SparkSession, prefix: str) -> BM25Index:
+    """Load the index from catalog tables. On an ACID V2 format every
+    table read is a snapshot; on V1 parquet tables the read is
+    whatever files are live (single-writer contract)."""
+    io = _TableIO(spark, prefix)
+    meta = json.loads(io.read("meta").collect()[0][0])
+    blocks = io.read("blocks")
+    from ..operators.postings import validate_blocks_schema
+
+    validate_blocks_schema(blocks, where=f"catalog blocks at {prefix}")
+    qgrams = io.read("qgrams") if io.exists("qgrams") else None
+    return BM25Index(
+        cfg=TextConfig.from_json(json.dumps(meta["textconfig"])),
+        params=BM25Params(**meta["params"]),
+        bm25=FoldedBM25.from_json(json.dumps(meta["bm25"])),
+        vocab=io.read("vocab"),
+        postings=io.read("postings"),
+        doclens=io.read("doclens"),
+        n_docs=meta["n_docs"],
+        avgdl=meta["avgdl"],
+        blocks=blocks,
+        qgrams=qgrams,
+        last_doc=high_water_mark_catalog(spark, prefix),
+    )
+
+
+def high_water_mark_catalog(spark: SparkSession, prefix: str) -> int:
+    """Max last_doc over the commit-log TABLE — one tiny aggregate over
+    a metadata-sized relation, never a doclens scan."""
+    io = _TableIO(spark, prefix)
+    row = io.read("log").agg(F.max("last_doc")).collect()[0]
+    return int(row[0] or 0)
+
+
+def append_batch_catalog(
+    spark: SparkSession,
+    prefix: str,
+    new_docs: DataFrame,
+    *,
+    doc_col: Optional[str] = None,
+    text_col: str = "text",
+    batch_id=None,
+) -> dict:
+    """One append batch: frozen-vocab postings (shared
+    compute_batch_postings kernel — identical semantics to the other
+    two backends), appended to the three data tables plus one log row.
+    A ``batch_id`` already present in the log returns its recorded
+    metrics without re-appending (streaming replay dedupe). On V2 each
+    table append is an atomic snapshot commit; V1 is single-writer."""
+    import uuid
+
+    from ..operators.postings import build_posting_blocks
+    from ..streaming.append import compute_batch_postings
+
+    if batch_id is None:
+        batch_id = f"adhoc-{uuid.uuid4().hex[:12]}"
+    batch_id = str(batch_id)
+    io = _TableIO(spark, prefix)
+    prior = (io.read("log").filter(F.col("batch_id") == batch_id)
+             .orderBy(F.desc("committed_at")).limit(1).collect())
+    if prior:
+        r = prior[0]
+        return {"batch_id": batch_id, "replay": True,
+                "n_block_rows": int(r.n_block_rows or 0),
+                "last_doc": int(r.last_doc or 0)}
+
+    t0 = time.time()
+    idx = load_index_catalog(spark, prefix)
+    span = int(idx.blocks.select("span").limit(1).collect()[0][0])
+    hwm = high_water_mark_catalog(spark, prefix)
+    postings, n_new, first_doc, last_doc, docs = compute_batch_postings(
+        spark, idx, new_docs, doc_col=doc_col, text_col=text_col, hwm=hwm)
+    postings = postings.cache()
+    blocks = build_posting_blocks(postings, span=span).cache()
+    n_block_rows = blocks.count()  # this batch's block rows (cached plan)
+    io.append(blocks, "blocks")
+    io.append(postings.select(*io.read("postings").columns), "postings")
+    io.append(postings.groupBy("doc_id").agg(F.first("doclen").alias("doclen")),
+              "doclens")
+    blocks.unpersist()
+    postings.unpersist()
+    docs.unpersist()
+    io.append(spark.createDataFrame(
+        [("append", batch_id, int(last_doc), int(n_block_rows), time.time())],
+        _LOG_SCHEMA), "log")
+    return {
+        "batch_id": batch_id,
+        "n_docs_appended": n_new,
+        "first_doc": first_doc,
+        "last_doc": last_doc,
+        "n_block_rows": int(n_block_rows),
+        "append_sec": round(time.time() - t0, 3),
+        "span": span,
+    }
+
+
+def compact_index_catalog(spark: SparkSession, prefix: str) -> dict:
+    """Fold append-fragmented (token, block_id) groups into one block
+    row each and REPLACE the blocks table (V2: atomic RTAS — the
+    Iceberg RewriteFiles shape; V1: staged swap). Postings/doclens
+    tables are already long-form unions and need no rewrite."""
+    from ..operators.postings import BLOCKS_COLUMNS, compact_blocks
+
+    t0 = time.time()
+    idx = load_index_catalog(spark, prefix)
+    merged = compact_blocks(idx.blocks, idx.bm25).select(*BLOCKS_COLUMNS)
+    io = _TableIO(spark, prefix)
+    io.replace(merged.repartition("token")
+               .sortWithinPartitions("token", "block_id"), "blocks")
+    n_rows = io.read("blocks").count()
+    io.append(spark.createDataFrame(
+        [("compact", None, high_water_mark_catalog(spark, prefix),
+          int(n_rows), time.time())], _LOG_SCHEMA), "log")
+    return {"n_block_rows": int(n_rows),
+            "compact_sec": round(time.time() - t0, 3)}
