@@ -111,6 +111,60 @@ def test_compact_preserves_results(spark, golden_corpus_df, prefix):
     assert cat.high_water_mark_catalog(spark, prefix) == 10
 
 
+def test_crashed_append_is_invisible_then_exactly_once(spark, golden_corpus_df, prefix):
+    """Write-audit-publish crash window: a batch whose data rows landed
+    but whose log row (the publish point) never did must be invisible
+    to every reader, and the retry must expose exactly one copy."""
+    from textsearch_spark.operators.postings import build_posting_blocks
+    from textsearch_spark.streaming.append import compute_batch_postings
+
+    idx = _base(spark, golden_corpus_df, prefix)
+    q = spark.createDataFrame([(1, "hoja roja")], "query_id long, qtext string")
+    before = search_bm25(idx, q, 3).orderBy("rank").collect()
+
+    new = spark.createDataFrame(
+        [(8, "la hoja roja rica")], "doc_id long, text string")
+    postings, n_new, first_doc, last_doc, docs = compute_batch_postings(
+        spark, idx, new, doc_col="doc_id", text_col="text",
+        hwm=cat.high_water_mark_catalog(spark, prefix))
+    postings = postings.cache()
+    blocks = build_posting_blocks(postings, span=4)
+    # the crash: data written, publish log row never happens
+    cat._write_batch_data(cat._TableIO(spark, prefix), postings, blocks)
+    postings.unpersist()
+    docs.unpersist()
+
+    idx2 = cat.load_index_catalog(spark, prefix)
+    assert idx2.doclens.count() == 7          # orphan rows invisible
+    assert cat.high_water_mark_catalog(spark, prefix) == 7
+    after_crash = search_bm25(idx2, q, 3).orderBy("rank").collect()
+    assert [(r.doc_id, r.score) for r in before] == \
+           [(r.doc_id, r.score) for r in after_crash]
+
+    # the retry publishes exactly one copy
+    m = cat.append_batch_catalog(spark, prefix, new, doc_col="doc_id",
+                                 batch_id="retry-1")
+    assert m["n_docs_appended"] == 1 and m["last_doc"] == 8
+    idx3 = cat.load_index_catalog(spark, prefix)
+    assert idx3.doclens.count() == 8
+    assert idx3.doclens.filter("doc_id = 8").count() == 1
+    assert idx3.postings.groupBy("token", "doc_id").count() \
+        .filter("count > 1").count() == 0     # no doubled postings
+    res = search_bm25(idx3, q, 3).orderBy("rank").collect()
+    assert 8 in {r.doc_id for r in res}
+
+    # vacuum reclaims the orphan rows; nothing published is touched
+    removed = cat.vacuum_catalog(spark, prefix)
+    assert removed["doclens"] == 1 and removed["postings"] > 0
+    idx4 = cat.load_index_catalog(spark, prefix)
+    assert idx4.doclens.count() == 8
+    res2 = search_bm25(idx4, q, 3).orderBy("rank").collect()
+    assert [(r.doc_id, r.score) for r in res] == \
+           [(r.doc_id, r.score) for r in res2]
+    assert cat.vacuum_catalog(spark, prefix) == \
+        {"blocks": 0, "postings": 0, "doclens": 0}
+
+
 def test_v2_identifier_detection(spark):
     assert not cat._is_v2_identifier(spark, "plain_table")
     assert not cat._is_v2_identifier(spark, "default.plain_table")

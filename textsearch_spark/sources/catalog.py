@@ -33,9 +33,23 @@ Layout: one namespace prefix owns six tables —
 ``{p}_meta`` (single JSON row: TextConfig, folded BM25, N, avgdl),
 ``{p}_vocab``, ``{p}_qgrams``, ``{p}_postings``, ``{p}_doclens``,
 ``{p}_blocks``, plus ``{p}_log`` — an append-only commit-log table
-(op, batch_id, last_doc, n_block_rows, committed_at) serving the
-high-water-mark fold and streaming batch dedupe exactly like the
-txnlog's entries (metadata folds over the log, never a table scan).
+(op, batch_id, commit_id, last_doc, n_block_rows, committed_at)
+serving the high-water-mark fold and streaming batch dedupe exactly
+like the txnlog's entries (metadata folds over the log, never a table
+scan).
+
+**Cross-table atomicity (write-audit-publish).** An append touches
+three data tables; neither the session catalog nor Iceberg gives a
+transaction spanning tables, so the multi-table commit point is the
+LOG ROW: every data row carries a ``commit_id`` stamp, readers filter
+each data table to commit_ids present in the log (a broadcast
+left-semi against the metadata-sized log), and an append writes data
+first, log row last. A crash mid-append leaves orphan rows that no
+reader ever sees; the retry re-writes under a FRESH commit_id and
+publishes exactly once (the batch_id replay check). Compaction
+inverts the order — log row first, then the atomic blocks REPLACE —
+so its crash window shows readers the old, still-published rows.
+``vacuum_catalog`` rewrites unpublished orphans out.
 """
 
 from __future__ import annotations
@@ -50,8 +64,12 @@ from pyspark.sql import functions as F
 from ..config import BM25Params, FoldedBM25, TextConfig
 from ..plans.build import BM25Index
 
-_LOG_SCHEMA = ("op string, batch_id string, last_doc long, "
-               "n_block_rows long, committed_at double")
+_LOG_SCHEMA = ("op string, batch_id string, commit_id string, "
+               "last_doc long, n_block_rows long, committed_at double")
+
+# data tables whose rows carry the commit_id stamp (vocab/qgrams/meta
+# are written once at save and never appended — no stamp needed)
+_STAMPED = ("blocks", "postings", "doclens")
 
 
 def _is_v2_identifier(spark: SparkSession, name: str) -> bool:
@@ -116,6 +134,17 @@ class _TableIO:
     def read(self, suffix: str) -> DataFrame:
         return self.spark.table(self.t(suffix))
 
+    def read_published(self, suffix: str) -> DataFrame:
+        """The stamped table restricted to rows whose commit_id the
+        log has published — the ONLY correct read of a stamped table
+        (unpublished rows are crashed-append orphans). The log is
+        metadata-sized, so the semi-join broadcasts."""
+        ids = self.read("log").select("commit_id").where(
+            F.col("commit_id").isNotNull()).distinct()
+        return (self.read(suffix)
+                .join(F.broadcast(ids), "commit_id", "left_semi")
+                .drop("commit_id"))
+
     def exists(self, suffix: str) -> bool:
         return self.spark.catalog.tableExists(self.t(suffix))
 
@@ -133,9 +162,13 @@ def save_index_catalog(index: BM25Index, prefix: str, *,
     written token-clustered (repartition+sortWithinPartitions) so the
     format's file/row-group statistics give token min-max pruning at
     query time — same physical layout as the filesystem backends."""
+    import uuid
+
     assert index.blocks is not None, "catalog backend expects a block index"
     spark = index.spark
     io = _TableIO(spark, prefix, using)
+    commit_id = f"init-{uuid.uuid4().hex[:12]}"
+    stamp = F.lit(commit_id).alias("commit_id")
     meta = {
         "backend": "catalog",
         "textconfig": json.loads(index.cfg.to_json()),
@@ -154,10 +187,10 @@ def save_index_catalog(index: BM25Index, prefix: str, *,
         q = index.qgrams if index.qgrams is not None else build_qgram_index(index.vocab)
         io.create(q.repartition("gram").sortWithinPartitions("gram", "vtoken"),
                   "qgrams")
-    io.create(index.postings.repartition("token")
+    io.create(index.postings.select("*", stamp).repartition("token")
               .sortWithinPartitions("token", "doc_id"), "postings")
-    io.create(index.doclens, "doclens")
-    io.create(index.blocks.repartition("token")
+    io.create(index.doclens.select("*", stamp), "doclens")
+    io.create(index.blocks.select("*", stamp).repartition("token")
               .sortWithinPartitions("token", "block_id"), "blocks")
 
     if index.last_doc is not None:
@@ -166,7 +199,8 @@ def save_index_catalog(index: BM25Index, prefix: str, *,
         last_doc = int(index.doclens.agg(F.max("doc_id")).collect()[0][0] or 0)
     n_rows = io.read("blocks").count()
     io.create(spark.createDataFrame(
-        [("init", None, last_doc, n_rows, time.time())], _LOG_SCHEMA), "log")
+        [("init", None, commit_id, last_doc, n_rows, time.time())],
+        _LOG_SCHEMA), "log")
 
 
 def load_index_catalog(spark: SparkSession, prefix: str) -> BM25Index:
@@ -175,7 +209,7 @@ def load_index_catalog(spark: SparkSession, prefix: str) -> BM25Index:
     whatever files are live (single-writer contract)."""
     io = _TableIO(spark, prefix)
     meta = json.loads(io.read("meta").collect()[0][0])
-    blocks = io.read("blocks")
+    blocks = io.read_published("blocks")
     from ..operators.postings import validate_blocks_schema
 
     validate_blocks_schema(blocks, where=f"catalog blocks at {prefix}")
@@ -185,8 +219,8 @@ def load_index_catalog(spark: SparkSession, prefix: str) -> BM25Index:
         params=BM25Params(**meta["params"]),
         bm25=FoldedBM25.from_json(json.dumps(meta["bm25"])),
         vocab=io.read("vocab"),
-        postings=io.read("postings"),
-        doclens=io.read("doclens"),
+        postings=io.read_published("postings"),
+        doclens=io.read_published("doclens"),
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
         blocks=blocks,
@@ -203,6 +237,26 @@ def high_water_mark_catalog(spark: SparkSession, prefix: str) -> int:
     return int(row[0] or 0)
 
 
+def _write_batch_data(io: _TableIO, postings: DataFrame,
+                      blocks: DataFrame) -> tuple:
+    """Write one batch's rows into the three data tables under a fresh
+    commit_id WITHOUT publishing it (the caller's log row does that).
+    Split out so the crash-window tests can stop exactly here."""
+    import uuid
+
+    commit_id = f"att-{uuid.uuid4().hex[:12]}"
+    stamp = F.lit(commit_id).alias("commit_id")
+    n_block_rows = blocks.count()
+    io.append(blocks.select("*", stamp), "blocks")
+    io.append(postings.select(
+        *[c for c in io.read("postings").columns if c != "commit_id"], stamp),
+        "postings")
+    io.append(postings.groupBy("doc_id")
+              .agg(F.first("doclen").alias("doclen")).select("*", stamp),
+              "doclens")
+    return commit_id, int(n_block_rows)
+
+
 def append_batch_catalog(
     spark: SparkSession,
     prefix: str,
@@ -216,8 +270,13 @@ def append_batch_catalog(
     compute_batch_postings kernel — identical semantics to the other
     two backends), appended to the three data tables plus one log row.
     A ``batch_id`` already present in the log returns its recorded
-    metrics without re-appending (streaming replay dedupe). On V2 each
-    table append is an atomic snapshot commit; V1 is single-writer."""
+    metrics without re-appending (streaming replay dedupe).
+
+    Write-audit-publish: the batch's rows land stamped with a fresh
+    ``commit_id`` (one per physical attempt), and the log row —
+    written LAST — is the publish point. A crash anywhere before it
+    leaves only unpublished orphans; the retry stamps a new commit_id,
+    so the eventual single publish exposes exactly one copy."""
     import uuid
 
     from ..operators.postings import build_posting_blocks
@@ -243,17 +302,14 @@ def append_batch_catalog(
         spark, idx, new_docs, doc_col=doc_col, text_col=text_col, hwm=hwm)
     postings = postings.cache()
     blocks = build_posting_blocks(postings, span=span).cache()
-    n_block_rows = blocks.count()  # this batch's block rows (cached plan)
-    io.append(blocks, "blocks")
-    io.append(postings.select(*io.read("postings").columns), "postings")
-    io.append(postings.groupBy("doc_id").agg(F.first("doclen").alias("doclen")),
-              "doclens")
+    commit_id, n_block_rows = _write_batch_data(io, postings, blocks)
     blocks.unpersist()
     postings.unpersist()
     docs.unpersist()
+    # the publish point: readers see this batch only from here on
     io.append(spark.createDataFrame(
-        [("append", batch_id, int(last_doc), int(n_block_rows), time.time())],
-        _LOG_SCHEMA), "log")
+        [("append", batch_id, commit_id, int(last_doc), int(n_block_rows),
+          time.time())], _LOG_SCHEMA), "log")
     return {
         "batch_id": batch_id,
         "n_docs_appended": n_new,
@@ -269,18 +325,50 @@ def compact_index_catalog(spark: SparkSession, prefix: str) -> dict:
     """Fold append-fragmented (token, block_id) groups into one block
     row each and REPLACE the blocks table (V2: atomic RTAS — the
     Iceberg RewriteFiles shape; V1: staged swap). Postings/doclens
-    tables are already long-form unions and need no rewrite."""
+    tables are already long-form unions and need no rewrite.
+
+    Publish order is INVERTED vs append: the log row lands BEFORE the
+    replace. Between the two, the blocks table still holds only the
+    old (published) rows, so readers stay on the pre-compaction
+    snapshot; the replace then atomically swaps in rows carrying the
+    pre-published commit_id. Data-first here would strand readers on
+    an all-unpublished table during the window."""
+    import uuid
+
     from ..operators.postings import BLOCKS_COLUMNS, compact_blocks
 
     t0 = time.time()
     idx = load_index_catalog(spark, prefix)
     merged = compact_blocks(idx.blocks, idx.bm25).select(*BLOCKS_COLUMNS)
     io = _TableIO(spark, prefix)
-    io.replace(merged.repartition("token")
-               .sortWithinPartitions("token", "block_id"), "blocks")
-    n_rows = io.read("blocks").count()
+    commit_id = f"cmp-{uuid.uuid4().hex[:12]}"
+    # count on the input side so the log row can precede the rewrite
+    n_rows = merged.count()
     io.append(spark.createDataFrame(
-        [("compact", None, high_water_mark_catalog(spark, prefix),
+        [("compact", None, commit_id, high_water_mark_catalog(spark, prefix),
           int(n_rows), time.time())], _LOG_SCHEMA), "log")
+    io.replace(merged.select("*", F.lit(commit_id).alias("commit_id"))
+               .repartition("token")
+               .sortWithinPartitions("token", "block_id"), "blocks")
     return {"n_block_rows": int(n_rows),
             "compact_sec": round(time.time() - t0, 3)}
+
+
+def vacuum_catalog(spark: SparkSession, prefix: str) -> dict:
+    """Rewrite crashed-append orphans (rows whose commit_id the log
+    never published) out of the stamped data tables. Orphans are
+    invisible to every reader already — this reclaims their storage.
+    Uses the same replace seam as compaction (V2: atomic RTAS; V1:
+    staged swap, single-writer)."""
+    io = _TableIO(spark, prefix)
+    ids = io.read("log").select("commit_id").where(
+        F.col("commit_id").isNotNull()).distinct()
+    removed = {}
+    for suffix in _STAMPED:
+        tbl = io.read(suffix)
+        orphans = tbl.join(F.broadcast(ids), "commit_id", "left_anti").count()
+        removed[suffix] = int(orphans)
+        if orphans:
+            io.replace(tbl.join(F.broadcast(ids), "commit_id", "left_semi"),
+                       suffix)
+    return removed
