@@ -279,3 +279,52 @@ def test_wand_adaptive_defaults(spark, zipf_index):
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert 1 <= qg <= MAX_DEFAULT_QUERY_GROUPS
     assert qg == max(1, min(MAX_DEFAULT_QUERY_GROUPS, shuffle // nb))
+
+
+def test_wand_prebucket_resident(spark, zipf_index):
+    """prebucket_blocks (r04 verdict item 3 follow-through): queries
+    over a partition-resident blocks table are rank-identical, the
+    scoring groupBy adds NO exchange (postings stop re-shipping per
+    batch), and an explicitly mismatched n_buckets falls back to the
+    shuffled path — still correct."""
+    import contextlib
+    import dataclasses
+    import io
+
+    from textsearch_spark.operators.wand import prebucket_blocks
+
+    corpus, idx0 = zipf_index
+    qdf = _zipf_queries(spark, corpus, 32, seed=23).cache()
+    base = search_bm25_wand(idx0, qdf, k=10, n_buckets=4, query_groups=2).collect()
+
+    # clone the handle: the fixture is module-shared and prebucket
+    # mutates index.blocks
+    idx = dataclasses.replace(idx0)
+    prebucket_blocks(idx, n_buckets=4)
+    assert idx.prebucket_n == 4 and "bucket" in idx.blocks.columns
+    res = search_bm25_wand(idx, qdf, k=10, query_groups=2)  # adopts n_buckets=4
+    _assert_rank_identical(base, res.collect())
+
+    def exchange_between_groupby_and_scan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        lines = buf.getvalue().splitlines()
+        fm = next(i for i, l in enumerate(lines) if "FlatMapGroupsInPandas" in l)
+        seg = []
+        for line in lines[fm:]:
+            if "InMemoryTableScan" in line or "Scan parquet" in line:
+                break
+            seg.append(line)
+        return any("Exchange" in line for line in seg)
+
+    # resident: exchange elided; plain cached index: exchange present
+    assert not exchange_between_groupby_and_scan(res)
+    assert exchange_between_groupby_and_scan(
+        search_bm25_wand(idx0, qdf, k=10, n_buckets=4, query_groups=2))
+
+    # mismatched explicit n_buckets: stale bucket column is dropped and
+    # recomputed under the requested count — correct, just shuffled
+    stale = search_bm25_wand(idx, qdf, k=10, n_buckets=7, query_groups=1)
+    _assert_rank_identical(base, stale.collect())
+    idx.blocks.unpersist(blocking=False)

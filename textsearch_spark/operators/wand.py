@@ -332,6 +332,52 @@ def _default_n_buckets(index: BM25Index) -> int:
 MAX_DEFAULT_QUERY_GROUPS = 16
 
 
+def prebucket_blocks(index: BM25Index, n_buckets: Optional[int] = None,
+                     storage_level=None) -> BM25Index:
+    """Make the blocks table partition-resident by WAND bucket.
+
+    Adds the ``bucket = pmod(block_id, n_buckets)`` column, repartitions
+    the blocks table BY that column, and persists it. Subsequent
+    :func:`search_bm25_wand` calls adopt the resident bucketing (when
+    ``n_buckets`` is left unset) and group by the pre-existing column, so
+    the scoring stage's ``groupBy(bucket, qgrp)`` exchange is **elided**
+    by Catalyst — HashPartitioning(bucket) already satisfies the
+    clustered distribution — and the kernel reads postings where they
+    live instead of re-shipping every candidate blob per query batch
+    (plan-asserted in tests/test_wand.py).
+
+    This is the serving-at-scale shape: pay the bucket shuffle ONCE per
+    index (build/load time), then route query batches to
+    partition-resident postings. Per-batch cost drops from
+    O(candidate blob bytes) shuffle write+read to zero exchange; on the
+    N-vs-4N scaling gate the exchange was the bandwidth tax that pushed
+    the dense query pair onto the 0.8 knife-edge (r04 verdict item 3).
+
+    Group-mode note: with the exchange elided, same-bucket groups land
+    in one task, so ``group_mode='shuffle'`` query groups would serialize
+    — search_bm25_wand therefore defaults to the in-kernel thread-pool
+    split (``group_mode='kernel'``) when it adopts a resident bucketing.
+    """
+    assert index.blocks is not None, "build_posting_blocks first (or io.load_index)"
+    if n_buckets is None:
+        n_buckets = _default_n_buckets(index)
+    n_buckets = max(1, int(n_buckets))
+    b = index.blocks
+    if "bucket" in b.columns:
+        b = b.drop("bucket")
+    b = (
+        b.withColumn("bucket", F.pmod(F.col("block_id"), F.lit(n_buckets)))
+        .repartition(n_buckets, "bucket")
+    )
+    if storage_level is None:
+        from pyspark import StorageLevel
+
+        storage_level = StorageLevel.MEMORY_AND_DISK
+    index.blocks = b.persist(storage_level)
+    index.prebucket_n = n_buckets
+    return index
+
+
 def _default_query_groups(index: BM25Index, n_buckets: int) -> int:
     """Fill the shuffle-partition budget: ``shuffle_partitions /
     n_buckets`` groups, capped at MAX_DEFAULT_QUERY_GROUPS (16) —
@@ -426,10 +472,25 @@ def search_bm25_wand(
     if group_mode not in ("shuffle", "kernel"):
         raise ValueError(f"group_mode must be 'shuffle' or 'kernel', got {group_mode!r}")
     spark = index.spark
+    pre_n = getattr(index, "prebucket_n", None)
     if n_buckets is None:
-        n_buckets = _default_n_buckets(index)
+        # adopt the partition-resident bucketing when one exists — the
+        # whole point of prebucket_blocks is that the scoring groupBy
+        # then needs no exchange
+        n_buckets = pre_n if pre_n is not None else _default_n_buckets(index)
+    resident = (
+        pre_n is not None
+        and int(n_buckets) == int(pre_n)
+        and "bucket" in index.blocks.columns
+    )
     if query_groups is None:
         query_groups = _default_query_groups(index, n_buckets)
+    if resident and group_mode == "shuffle" and query_groups > 1:
+        # with the exchange elided, same-bucket shuffle-mode groups land
+        # in ONE task and serialize; the in-kernel thread split keeps
+        # their parallelism without re-introducing the exchange.
+        # Results are identical by construction (see group_mode docs).
+        group_mode = "kernel"
 
     q = query_tokens(index, queries, query_col=query_col, id_col=id_col,
                      typo_tolerant=typo_tolerant, maxdist=maxdist)
@@ -485,6 +546,10 @@ def search_bm25_wand(
     terms = sorted({t for ts in qmap.values() for t in ts})
 
     blocks = index.blocks
+    if "bucket" in blocks.columns and not resident:
+        # stale resident bucketing (caller forced a different n_buckets):
+        # drop it so the pmod below recomputes under the requested count
+        blocks = blocks.drop("bucket")
     # accept_posting_list veto (src/bm25invfilesearch.jl:32-38) as a
     # pushed-down predicate on list length — same semantics as the
     # naive scorer's bounds (blocks carry the token's total ndocs)
@@ -508,7 +573,12 @@ def search_bm25_wand(
         # kernel mode: ONE task per bucket — blobs ship/decode once;
         # the thread pool inside the kernel supplies the group split
         cand = cand.withColumn("qgrp", F.lit(0))
-    cand = cand.withColumn("bucket", F.pmod(F.col("block_id"), F.lit(n_buckets)))
+    if not resident:
+        cand = cand.withColumn(
+            "bucket", F.pmod(F.col("block_id"), F.lit(n_buckets)))
+    # resident path: `bucket` is the CACHED column the blocks table is
+    # hash-partitioned by, so the groupBy below adds no exchange — the
+    # kernel runs on partition-resident postings (plan-asserted test)
     local = cand.groupBy("bucket", "qgrp").applyInPandas(
         _bucket_kernel(index.bm25, k, bq, query_groups, counters,
                        kernel_split=kernel_split), _OUT_SCHEMA

@@ -58,6 +58,10 @@ class BM25Index:
     # would reuse a live id. Set by build_bm25_index; None on handles
     # from legacy paths (save_index then falls back to the doclens max)
     last_doc: Optional[int] = None
+    # set by operators.wand.prebucket_blocks: the bucket count the
+    # blocks table is hash-partition-resident under (None = postings
+    # shuffle to buckets per query batch instead)
+    prebucket_n: Optional[int] = None
     # persisted typo-lookup q-gram inverted file (gram, vtoken, vsz) —
     # built once per index lifetime (operators.approxvoc.build_qgram_index),
     # saved under qgrams/; None falls back to an inline per-batch build
