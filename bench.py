@@ -5,7 +5,10 @@
    "throughput": {...}, "scaling": {...}}
 
 Stages:
-- build / blocks / query(naive|wand) over $SPARK_GRAFT_SF_DIR documents;
+- build / blocks / query(naive|wand|wand_resident) over
+  $SPARK_GRAFT_SF_DIR documents — wand_resident is the serving shape
+  (prebucket_blocks pins postings partition-resident, untimed, once per
+  index; the scoring exchange is then elided on every batch);
 - a Zipf-vocabulary leg (50k terms, s=1.15) recording the WAND kernel's
   skip/decode counters — the pruning evidence the dense corpora cannot
   produce (SPARK_GRAFT_ZIPF=0 skips; SPARK_GRAFT_ZIPF_DOCS sizes it);
@@ -134,6 +137,24 @@ def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
     search_bm25_wand(idx, qdf, 10, n_buckets=-(-n_docs // 256), query_groups=8).count()
     timings["query_wand_512"] = time.time() - t0
     meta["wand_qps"] = round(nq / timings["query_wand_512"], 1)
+
+    # the partition-RESIDENT serving shape (prebucket once per index,
+    # untimed; queries then run with the scoring exchange elided).
+    # Reported under its own key so query_wand_512 stays comparable
+    # across rounds; measured 2.1x the shuffled path at sf0.1. Dense
+    # shape only — with few deep-pruning buckets (the zipf leg)
+    # parallelism must come from query-group PROCESSES, and residency's
+    # in-kernel threads lose to the GIL (measured 6.6x slower there).
+    from textsearch_spark.operators.wand import prebucket_blocks
+
+    old_blocks = idx.blocks
+    prebucket_blocks(idx, n_buckets=-(-n_docs // 256))
+    idx.blocks.count()
+    old_blocks.unpersist(blocking=False)
+    t0 = time.time()
+    search_bm25_wand(idx, qdf, 10, query_groups=1).count()
+    timings["query_wand_resident_512"] = time.time() - t0
+    meta["wand_resident_qps"] = round(nq / timings["query_wand_resident_512"], 1)
     spark.stop()
     return n_docs
 
@@ -265,6 +286,8 @@ def _fold_headline(reps: list[dict], timings: dict, meta: dict) -> None:
         meta["build_rows_per_sec"] = round(n_docs / timings["build"], 1)
         meta["naive_qps"] = round(512 / timings["query_naive_512"], 1)
         meta["wand_qps"] = round(512 / timings["query_wand_512"], 1)
+        meta["wand_resident_qps"] = round(
+            512 / timings["query_wand_resident_512"], 1)
     if "zipf_build" in stages:  # the zipf leg
         # counters are deterministic (byte-identical across reps —
         # verified by the r04 judge re-run); take them from the rep

@@ -357,6 +357,21 @@ def prebucket_blocks(index: BM25Index, n_buckets: Optional[int] = None,
     in one task, so ``group_mode='shuffle'`` query groups would serialize
     — search_bm25_wand therefore defaults to the in-kernel thread-pool
     split (``group_mode='kernel'``) when it adopts a resident bucketing.
+
+    WHEN to prebucket: residency pays off when ``n_buckets`` is at
+    least the cluster's task parallelism — each bucket is a real task
+    and the exchange was pure overhead (measured 2.1x qps on the dense
+    sf0.1 shape, 20 buckets). With FEW deep-pruning buckets (a
+    Zipf-vocabulary corpus tuned for block-max skipping) parallelism
+    must come from query groups, and shuffle-mode groups are
+    independent PROCESSES while the resident path's in-kernel threads
+    share the GIL — measured 6.6x slower there. Rule of thumb: prebucket
+    when ``n_buckets >= executor cores``; otherwise keep the shuffled
+    (bucket, qgrp) exchange. (The at-scale answer for high-QPS serving
+    over few buckets is replica partitions — G copies of the postings
+    with query groups routed per replica — which trades memory for
+    process parallelism; not implemented, the exchange already provides
+    the same routing per batch.)
     """
     assert index.blocks is not None, "build_posting_blocks first (or io.load_index)"
     if n_buckets is None:
