@@ -89,3 +89,25 @@ def test_build_shuffle_count(spark, golden_corpus_df):
     # cached build: the only live exchange feeding postings is the
     # doc_id window (bow/vocab exchanges live inside cached relations)
     assert n_exchanges(cached.postings) <= 3
+
+
+def test_load_index_prebucket_serving_shape(spark, golden_corpus_df, tmp_path):
+    """load_index(prebucket=True) returns an index whose blocks are
+    partition-resident: golden [6,2,4] still exact, residency adopted."""
+    from textsearch_spark.operators.wand import search_bm25_wand
+
+    d = str(tmp_path / "idx")
+    idx = build_bm25_index(golden_corpus_df, TextConfig(nlist=[1]),
+                           vocab_filter="ndocs > 1 AND ndocs < 5")
+    from textsearch_spark.operators.postings import build_posting_blocks
+
+    idx.blocks = build_posting_blocks(idx.postings, span=4)
+    save_index(idx, d, postings_partitions=2)
+    loaded = load_index(spark, d, prebucket=True)
+    assert loaded.prebucket_n is not None
+    assert "bucket" in loaded.blocks.columns
+    qs = spark.createDataFrame(
+        [(1, "la casa de la manzana verde")], "query_id long, qtext string")
+    res = search_bm25_wand(loaded, qs, k=3).orderBy("rank").collect()
+    assert [r.doc_id for r in res] == [6, 2, 4]
+    loaded.blocks.unpersist(blocking=False)

@@ -374,7 +374,12 @@ def save_index(index: BM25Index, path: str, *, postings_partitions: int | None =
         )
 
 
-def load_index(spark: SparkSession, path: str) -> BM25Index:
+def load_index(spark: SparkSession, path: str,
+               prebucket: bool = False) -> BM25Index:
+    # prebucket=True: pin the loaded blocks partition-resident by WAND
+    # bucket (operators.wand.prebucket_blocks) — the serving shape;
+    # queries then score with no exchange. Leave False for few-bucket
+    # deep-pruning corpora (see prebucket_blocks' docstring).
     # roll forward any committed-but-unswapped compaction before
     # reading, so a crash mid-swap is invisible to readers (the rename
     # window inside finish_compaction serializes on the exclusive swap
@@ -412,7 +417,7 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
             qgrams = spark.read.parquet(qgrams_p)
         else:
             qgrams = None  # pre-r04 index: typo lookups rebuild inline
-        return BM25Index(
+        idx = BM25Index(
             cfg=cfg,
             params=params,
             bm25=bm25,
@@ -425,6 +430,11 @@ def load_index(spark: SparkSession, path: str) -> BM25Index:
             qgrams=qgrams,
             last_doc=meta.get("last_doc"),
         )
+        if prebucket and idx.blocks is not None:
+            from ..operators.wand import prebucket_blocks
+
+            prebucket_blocks(idx)
+        return idx
 
 
 def save_model(model, path: str) -> None:
