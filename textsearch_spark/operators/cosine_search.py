@@ -12,10 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.weighting import EMPTY_SENTINEL, VectorModel, vectorize
-from .search import prune_postings_by_terms
+from .search import pin_query_relation, prune_postings_by_terms
 
 
 def search_cosine(
@@ -38,9 +37,10 @@ def search_cosine(
     # the scoring join (see search_bm25 — same double-consumption and
     # non-deterministic-source hazard). persist keeps lineage so an
     # executor loss recomputes instead of failing the query (a
-    # localCheckpoint here was a fault-tolerance regression).
-    qv = qv.persist(StorageLevel.MEMORY_AND_DISK)
-    qv.count()
+    # localCheckpoint here was a fault-tolerance regression); the
+    # shared registry evicts pins from older query batches so serving
+    # sessions don't accumulate one cached relation per batch.
+    qv = pin_query_relation(qv)
     p = corpus_vectors.filter(F.col("token") != EMPTY_SENTINEL)
     p = prune_postings_by_terms(p, qv)
     scored = (

@@ -29,6 +29,35 @@ from pyspark.storagelevel import StorageLevel
 from ..functions.udfs import exploded_tokens
 from ..plans.build import BM25Index
 
+# Bounded registry of persisted per-query relations. Every search call
+# pins its tokenized-query frame (persist + eager count) so the
+# expensive tokenization / typo similarity-join runs once across its
+# two consumers; without eviction a long-lived serving session would
+# accumulate one cached relation PER QUERY BATCH for its whole
+# lifetime. Eviction is always safe precisely because these are
+# persists, not checkpoints: lineage survives, so an evicted relation
+# that some caller collects later just recomputes. Cap 8 comfortably
+# outlives the collect-right-after-search pattern every caller here
+# uses.
+_PIN_CAP = 8
+_pinned: list[DataFrame] = []
+
+
+def pin_query_relation(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) + eager materialize, with FIFO eviction
+    of relations pinned by earlier calls (keeps at most ``_PIN_CAP``
+    query batches cached per process)."""
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    _pinned.append(df)
+    while len(_pinned) > _PIN_CAP:
+        old = _pinned.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # its SparkSession may already be stopped
+    return df
+
 
 def query_tokens(index: BM25Index, queries: DataFrame, *, query_col: str = "qtext",
                  id_col: str = "query_id", typo_tolerant: bool = False,
@@ -127,8 +156,7 @@ def search_bm25(
     # recompute-after-loss case a nondeterministic source reverts to
     # standard Spark recompute semantics) while still computing the
     # expensive tokenization/similarity-join exactly once normally.
-    q = q.persist(StorageLevel.MEMORY_AND_DISK)
-    q.count()
+    q = pin_query_relation(q)
 
     p = index.postings
     if accept_min_ndocs is not None:
