@@ -328,3 +328,53 @@ def test_wand_prebucket_resident(spark, zipf_index):
     stale = search_bm25_wand(idx, qdf, k=10, n_buckets=7, query_groups=1)
     _assert_rank_identical(base, stale.collect())
     idx.blocks.unpersist(blocking=False)
+
+
+def test_wand_replicated_resident(spark, zipf_index):
+    """prebucket_blocks(replicas=G): the few-bucket high-QPS serving
+    shape. Query shard g scores against replica g of every bucket —
+    rank-identical to the shuffled scorer (each query hits exactly one
+    replica per bucket, so no duplicate rows), still zero exchange
+    above the cached scan, and the kernel-mode / mismatched-group-count
+    fallbacks dedupe the exploded copies instead of G-fold counting."""
+    import contextlib
+    import dataclasses
+    import io
+
+    from textsearch_spark.operators.wand import prebucket_blocks
+
+    corpus, idx0 = zipf_index
+    qdf = _zipf_queries(spark, corpus, 32, seed=31).cache()
+    base = search_bm25_wand(idx0, qdf, k=10, n_buckets=4, query_groups=2).collect()
+
+    idx = dataclasses.replace(idx0)
+    prebucket_blocks(idx, n_buckets=4, replicas=3)
+    assert idx.prebucket_n == 4 and idx.prebucket_replicas == 3
+    assert "replica" in idx.blocks.columns
+    # adopts n_buckets=4 and query_groups=replicas=3
+    res = search_bm25_wand(idx, qdf, k=10)
+    _assert_rank_identical(base, res.collect())
+
+    def exchange_between_groupby_and_scan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        lines = buf.getvalue().splitlines()
+        fm = next(i for i, l in enumerate(lines) if "FlatMapGroupsInPandas" in l)
+        seg = []
+        for line in lines[fm:]:
+            if "InMemoryTableScan" in line or "Scan parquet" in line:
+                break
+            seg.append(line)
+        return any("Exchange" in line for line in seg)
+
+    assert not exchange_between_groupby_and_scan(res)
+
+    # kernel mode on a replicated index: every-signature-per-task would
+    # G-duplicate results, so the plan must fall back to ONE replica
+    kern = search_bm25_wand(idx, qdf, k=10, group_mode="kernel", query_groups=2)
+    _assert_rank_identical(base, kern.collect())
+    # a forced group count != G likewise falls back (correct, shuffled)
+    grp = search_bm25_wand(idx, qdf, k=10, query_groups=5)
+    _assert_rank_identical(base, grp.collect())
+    idx.blocks.unpersist(blocking=False)

@@ -333,7 +333,7 @@ MAX_DEFAULT_QUERY_GROUPS = 16
 
 
 def prebucket_blocks(index: BM25Index, n_buckets: Optional[int] = None,
-                     storage_level=None) -> BM25Index:
+                     replicas: int = 1, storage_level=None) -> BM25Index:
     """Make the blocks table partition-resident by WAND bucket.
 
     Adds the ``bucket = pmod(block_id, n_buckets)`` column, repartitions
@@ -367,29 +367,48 @@ def prebucket_blocks(index: BM25Index, n_buckets: Optional[int] = None,
     independent PROCESSES while the resident path's in-kernel threads
     share the GIL — measured 6.6x slower there. Rule of thumb: prebucket
     when ``n_buckets >= executor cores``; otherwise keep the shuffled
-    (bucket, qgrp) exchange. (The at-scale answer for high-QPS serving
-    over few buckets is replica partitions — G copies of the postings
-    with query groups routed per replica — which trades memory for
-    process parallelism; not implemented, the exchange already provides
-    the same routing per batch.)
+    (bucket, qgrp) exchange — or pay memory for ``replicas``:
+
+    **Replica partitions** (``replicas=G > 1``): the at-scale answer
+    for high-QPS serving over FEW deep-pruning buckets. Each block row
+    is materialized G times, partitioned by ``(bucket, replica)``, and
+    :func:`search_bm25_wand` routes query shard ``qid % G`` to replica
+    ``qid % G`` — so the scoring stage runs ``n_buckets × G``
+    partition-resident PROCESS-parallel tasks with still no per-batch
+    exchange. This trades G× resident postings memory for real process
+    parallelism where the in-kernel thread split serializes on the
+    GIL (per-signature scoring is Python-loop-heavy on small blocks).
+    Residency invariants per (bucket, replica) partition are identical
+    to the G=1 case; results are rank-identical by construction (each
+    query is scored by exactly one replica of every bucket —
+    differential-tested).
     """
     assert index.blocks is not None, "build_posting_blocks first (or io.load_index)"
     if n_buckets is None:
         n_buckets = _default_n_buckets(index)
     n_buckets = max(1, int(n_buckets))
+    replicas = max(1, int(replicas))
     b = index.blocks
-    if "bucket" in b.columns:
-        b = b.drop("bucket")
-    b = (
-        b.withColumn("bucket", F.pmod(F.col("block_id"), F.lit(n_buckets)))
-        .repartition(n_buckets, "bucket")
-    )
+    for c in ("bucket", "replica"):
+        if c in b.columns:
+            b = b.drop(c)
+    b = b.withColumn("bucket", F.pmod(F.col("block_id"), F.lit(n_buckets)))
+    if replicas > 1:
+        b = (
+            b.withColumn("replica",
+                         F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+            .withColumn("replica", F.col("replica").cast("int"))
+            .repartition(n_buckets * replicas, "bucket", "replica")
+        )
+    else:
+        b = b.repartition(n_buckets, "bucket")
     if storage_level is None:
         from pyspark import StorageLevel
 
         storage_level = StorageLevel.MEMORY_AND_DISK
     index.blocks = b.persist(storage_level)
     index.prebucket_n = n_buckets
+    index.prebucket_replicas = replicas
     return index
 
 
@@ -498,9 +517,24 @@ def search_bm25_wand(
         and int(n_buckets) == int(pre_n)
         and "bucket" in index.blocks.columns
     )
+    # replica-resident serving (prebucket_blocks(replicas=G)): query
+    # shard g runs against replica g of every bucket — n_buckets × G
+    # process-parallel tasks, zero exchange. The kernel's sharding
+    # (qid % query_groups == qgrp) makes each replica score exactly its
+    # own query shard, so query_groups must equal G on this path; a
+    # caller forcing a different group count — or kernel mode, whose
+    # every-signature-per-task semantics would emit G duplicate result
+    # sets — falls back to one replica of the plain plan (correct,
+    # exchange reintroduced).
+    pre_g = int(getattr(index, "prebucket_replicas", None) or 1)
+    replicated = resident and pre_g > 1 and "replica" in index.blocks.columns
+    if replicated and group_mode == "kernel":
+        replicated = False
     if query_groups is None:
-        query_groups = _default_query_groups(index, n_buckets)
-    if resident and group_mode == "shuffle" and query_groups > 1:
+        query_groups = pre_g if replicated else _default_query_groups(index, n_buckets)
+    if replicated and int(query_groups) != pre_g:
+        replicated = False
+    if resident and not replicated and group_mode == "shuffle" and query_groups > 1:
         # with the exchange elided, same-bucket shuffle-mode groups land
         # in ONE task and serialize; the in-kernel thread split keeps
         # their parallelism without re-introducing the exchange.
@@ -565,6 +599,11 @@ def search_bm25_wand(
         # stale resident bucketing (caller forced a different n_buckets):
         # drop it so the pmod below recomputes under the requested count
         blocks = blocks.drop("bucket")
+    if "replica" in blocks.columns and not replicated:
+        # replica-exploded table used outside the replicated plan: keep
+        # exactly one copy of every block row (replica 0 — all replicas
+        # are identical), or the scorer would G-fold-count every blob
+        blocks = blocks.filter(F.col("replica") == 0).drop("replica")
     # accept_posting_list veto (src/bm25invfilesearch.jl:32-38) as a
     # pushed-down predicate on list length — same semantics as the
     # naive scorer's bounds (blocks carry the token's total ndocs)
@@ -581,7 +620,12 @@ def search_bm25_wand(
     qtok = spark.createDataFrame([(t,) for t in terms], "token string")
     cand = blocks.join(F.broadcast(qtok), "token")
     kernel_split = group_mode == "kernel"
-    if query_groups > 1 and not kernel_split:
+    if replicated:
+        # each replica partition already holds a full copy of its
+        # bucket's blocks; its query shard IS its replica id — no
+        # crossJoin, the qgrp column aliases the cached replica column
+        cand = cand.withColumn("qgrp", F.col("replica").cast("int"))
+    elif query_groups > 1 and not kernel_split:
         groups = spark.range(query_groups).select(F.col("id").cast("int").alias("qgrp"))
         cand = cand.crossJoin(F.broadcast(groups))
     else:
@@ -591,10 +635,13 @@ def search_bm25_wand(
     if not resident:
         cand = cand.withColumn(
             "bucket", F.pmod(F.col("block_id"), F.lit(n_buckets)))
-    # resident path: `bucket` is the CACHED column the blocks table is
-    # hash-partitioned by, so the groupBy below adds no exchange — the
-    # kernel runs on partition-resident postings (plan-asserted test)
-    local = cand.groupBy("bucket", "qgrp").applyInPandas(
+    # resident path: the grouping keys are exactly the CACHED columns
+    # the blocks table is hash-partitioned by, so the groupBy below adds
+    # no exchange — the kernel runs on partition-resident postings
+    # (plan-asserted test). Replicated path groups by the replica column
+    # itself (qgrp merely aliases it) for the same elision.
+    group_cols = ("bucket", "replica") if replicated else ("bucket", "qgrp")
+    local = cand.groupBy(*group_cols).applyInPandas(
         _bucket_kernel(index.bm25, k, bq, query_groups, counters,
                        kernel_split=kernel_split), _OUT_SCHEMA
     )

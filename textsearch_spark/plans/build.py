@@ -60,8 +60,11 @@ class BM25Index:
     last_doc: Optional[int] = None
     # set by operators.wand.prebucket_blocks: the bucket count the
     # blocks table is hash-partition-resident under (None = postings
-    # shuffle to buckets per query batch instead)
+    # shuffle to buckets per query batch instead), and the replica
+    # count (G > 1 = G process-parallel copies per bucket, query shard
+    # g routed to replica g — the few-bucket high-QPS serving shape)
     prebucket_n: Optional[int] = None
+    prebucket_replicas: Optional[int] = None
     # persisted typo-lookup q-gram inverted file (gram, vtoken, vsz) —
     # built once per index lifetime (operators.approxvoc.build_qgram_index),
     # saved under qgrams/; None falls back to an inline per-batch build

@@ -375,11 +375,12 @@ def save_index(index: BM25Index, path: str, *, postings_partitions: int | None =
 
 
 def load_index(spark: SparkSession, path: str,
-               prebucket: bool = False) -> BM25Index:
+               prebucket: bool = False, replicas: int = 1) -> BM25Index:
     # prebucket=True: pin the loaded blocks partition-resident by WAND
     # bucket (operators.wand.prebucket_blocks) — the serving shape;
     # queries then score with no exchange. Leave False for few-bucket
-    # deep-pruning corpora (see prebucket_blocks' docstring).
+    # deep-pruning corpora — or set replicas=G there to trade G× blocks
+    # memory for process parallelism (see prebucket_blocks' docstring).
     # roll forward any committed-but-unswapped compaction before
     # reading, so a crash mid-swap is invisible to readers (the rename
     # window inside finish_compaction serializes on the exclusive swap
@@ -433,7 +434,7 @@ def load_index(spark: SparkSession, path: str,
         if prebucket and idx.blocks is not None:
             from ..operators.wand import prebucket_blocks
 
-            prebucket_blocks(idx)
+            prebucket_blocks(idx, replicas=replicas)
         return idx
 
 
