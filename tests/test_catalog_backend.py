@@ -2,13 +2,22 @@
 save / load / append / compact lifecycle as the rename and txnlog
 backends, executed against tables resolved through ``spark.catalog``.
 
-No Iceberg/Delta jar ships in this container, so these tests exercise
-the V1 session-catalog path (managed parquet tables via saveAsTable /
-staged swap); the V2 ``writeTo`` path is the same code behind
-``_TableIO`` and activates whenever a ``spark.sql.catalog.*`` entry
-names the table's catalog. The test matrix mirrors
-tests/test_txnlog_backend.py so all three backends are held to
-identical lifecycle semantics."""
+Every lifecycle test runs on BOTH `_TableIO` paths:
+
+- **v1**: session-catalog managed parquet tables (saveAsTable /
+  staged swap) — the no-extra-jars default.
+- **v2**: a REAL DataFrameWriterV2 catalog — Spark's built-in JDBC
+  TableCatalog over an in-memory Derby database (the only V2
+  TableCatalog implementation on this container's classpath; no
+  Iceberg/Delta jar ships here). This genuinely executes the
+  production code path — ``writeTo(t).createOrReplace() / append() /
+  replace()`` against a configured ``spark.sql.catalog.*`` plugin —
+  including the non-staging-catalog REPLACE pinning. An Iceberg
+  catalog differs only in being a StagingTableCatalog (atomic RTAS,
+  no pinning) — the same seam, already branch-covered here.
+
+The test matrix mirrors tests/test_txnlog_backend.py so all three
+backends are held to identical lifecycle semantics."""
 
 import uuid
 
@@ -24,10 +33,41 @@ from textsearch_spark.sources import catalog as cat
 
 CFG = TextConfig(nlist=[1])
 
+V2_CATALOG = "jdbccat"
 
-@pytest.fixture()
-def prefix(spark):
-    p = f"tsidx_{uuid.uuid4().hex[:8]}"
+
+def ensure_v2_catalog(spark) -> str:
+    """Configure (once per session) a genuine V2 TableCatalog: Spark's
+    JDBCTableCatalog over in-memory Derby. Derby maps Spark strings to
+    CLOB, which its own engine cannot compare, so every operator
+    pushdown is kept off — predicates/aggregates evaluate in Spark
+    (production Iceberg keeps pushdown; pushdown is orthogonal to the
+    lifecycle seam under test)."""
+    base = f"spark.sql.catalog.{V2_CATALOG}"
+    if spark.conf.get(base, None) is None:
+        spark.conf.set(
+            base,
+            "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+        spark.conf.set(base + ".url",
+                       f"jdbc:derby:memory:tscat_{uuid.uuid4().hex[:8]};create=true")
+        spark.conf.set(base + ".driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        for k in ("pushDownPredicate", "pushDownAggregate",
+                  "pushDownLimit", "pushDownOffset"):
+            spark.conf.set(f"{base}.{k}", "false")
+    return V2_CATALOG
+
+
+@pytest.fixture(params=["v1", "v2"])
+def prefix(spark, request):
+    if request.param == "v2":
+        head = ensure_v2_catalog(spark)
+        p = f"{head}.tsidx_{uuid.uuid4().hex[:8]}"
+        io = cat._TableIO(spark, p)
+        assert io.v2, "configured catalog must take the writeTo path"
+        assert not io._staging()  # JDBC catalog: non-atomic REPLACE branch
+    else:
+        p = f"tsidx_{uuid.uuid4().hex[:8]}"
+        assert not cat._TableIO(spark, p).v2
     yield p
     cat._TableIO(spark, p).drop_all()
 

@@ -93,17 +93,41 @@ class _TableIO:
         self.spark = spark
         self.prefix = prefix
         self.v2 = _is_v2_identifier(spark, prefix)
-        # Iceberg catalogs default their own format; session catalog
-        # gets parquet managed tables
-        self.using = using or ("iceberg" if self.v2 else "parquet")
+        # V2 catalogs pick their own default format (an Iceberg catalog
+        # creates iceberg tables with no USING clause; a JDBC catalog
+        # has no notion of a provider at all), so ``using`` stays None
+        # unless the caller names one; the V1 session catalog gets
+        # parquet managed tables.
+        self.using = using or (None if self.v2 else "parquet")
 
     def t(self, suffix: str) -> str:
         return f"{self.prefix}_{suffix}"
 
+    def _staging(self) -> bool:
+        """True when the V2 catalog implements StagingTableCatalog —
+        its REPLACE TABLE AS SELECT is atomic and may read the table it
+        replaces (Iceberg's RewriteFiles shape). Non-staging catalogs
+        (e.g. Spark's built-in JDBC V2 catalog) fall back to
+        drop-then-write, so the input plan must be pinned first."""
+        head = self.prefix.split(".", 1)[0]
+        try:
+            jvm = self.spark._jvm
+            jcat = (self.spark._jsparkSession.sessionState()
+                    .catalogManager().catalog(head))
+            klass = jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.connector.catalog.StagingTableCatalog")
+            return bool(klass.isInstance(jcat))
+        except Exception:
+            return False
+
+    def _writer(self, df: DataFrame, name: str):
+        w = df.writeTo(name)
+        return w.using(self.using) if self.using else w
+
     def create(self, df: DataFrame, suffix: str) -> None:
         name = self.t(suffix)
         if self.v2:
-            df.writeTo(name).using(self.using).createOrReplace()
+            self._writer(df, name).createOrReplace()
         else:
             df.write.format(self.using).mode("overwrite").saveAsTable(name)
 
@@ -115,15 +139,21 @@ class _TableIO:
             df.write.format(self.using).mode("append").saveAsTable(name)
 
     def replace(self, df: DataFrame, suffix: str) -> None:
-        """Atomic on V2 (REPLACE TABLE AS SELECT); staged-swap on V1 —
-        the input plan reads the table being replaced, so V1 must
-        materialize into a staging table first (Spark refuses to
-        overwrite a table into which the running query reads), then
-        drop+rename. The V1 swap window is the documented
-        single-writer limitation."""
+        """Atomic on a staging V2 catalog (REPLACE TABLE AS SELECT —
+        Iceberg commits the swap as one snapshot and the input may read
+        the table being replaced); on a NON-staging V2 catalog Spark's
+        fallback is drop-then-write, so the input is pinned
+        (localCheckpoint) first or the post-drop scan of the replaced
+        table would fail mid-write. Staged-swap on V1 — the input plan
+        reads the table being replaced, so V1 must materialize into a
+        staging table first (Spark refuses to overwrite a table into
+        which the running query reads), then drop+rename. The V1 swap
+        window is the documented single-writer limitation."""
         name = self.t(suffix)
         if self.v2:
-            df.writeTo(name).using(self.using).replace()
+            if not self._staging():
+                df = df.localCheckpoint(eager=True)
+            self._writer(df, name).replace()
             return
         staged = f"{name}__staged"
         self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
