@@ -213,3 +213,51 @@ def test_v2_identifier_detection(spark):
         assert cat._is_v2_identifier(spark, "lakehouse.db.tbl")
     finally:
         spark.conf.unset("spark.sql.catalog.lakehouse")
+
+
+def test_catalog_time_travel(spark, golden_corpus_df, prefix):
+    """as_of serves the index as of any published commit by filtering
+    publication to the log prefix; snapshots older than a later
+    compaction raise (the blocks REPLACE is physical on this backend's
+    own log — an Iceberg catalog serves those via VERSION AS OF)."""
+    _base(spark, golden_corpus_df, prefix)
+    q = spark.createDataFrame([(1, "hoja roja rica")], "query_id long, qtext string")
+
+    def top(idx):
+        return [(r.rank, r.doc_id, round(r.score, 9))
+                for r in search_bm25_wand(idx, q, 3).orderBy("rank").collect()]
+
+    snap1 = top(cat.load_index_catalog(spark, prefix))  # docs 1..7
+    cat.append_batch_catalog(
+        spark, prefix,
+        spark.createDataFrame([(8, "la hoja roja rica")], "doc_id long, text string"),
+        doc_col="doc_id", batch_id="e0")
+    snap2 = top(cat.load_index_catalog(spark, prefix))
+    cat.append_batch_catalog(
+        spark, prefix,
+        spark.createDataFrame([(9, "roja roja hoja")], "doc_id long, text string"),
+        doc_col="doc_id", batch_id="e1")
+
+    hist = cat.log_history_catalog(spark, prefix)
+    assert [h["op"] for h in hist] == ["init", "append", "append"]
+    t_init, t_e0, t_e1 = (h["committed_at"] for h in hist)
+
+    at1 = cat.load_index_catalog(spark, prefix, as_of=t_init)
+    assert at1.doclens.count() == 7 and at1.last_doc == 7
+    assert top(at1) == snap1
+    at2 = cat.load_index_catalog(spark, prefix, as_of=t_e0)
+    assert at2.doclens.count() == 8 and at2.last_doc == 8
+    assert top(at2) == snap2
+    assert cat.load_index_catalog(spark, prefix, as_of=t_e1).doclens.count() == 9
+
+    # a later compaction replaces the blocks table: older snapshots
+    # become unreachable through this backend's own log and raise
+    cat.compact_index_catalog(spark, prefix)
+    with pytest.raises(ValueError, match="compaction"):
+        cat.load_index_catalog(spark, prefix, as_of=t_e0)
+    # the post-compaction present (and any later as_of) still serves
+    hist2 = cat.log_history_catalog(spark, prefix)
+    assert hist2[-1]["op"] == "compact"
+    at_now = cat.load_index_catalog(spark, prefix, as_of=hist2[-1]["committed_at"])
+    assert at_now.doclens.count() == 9
+    assert top(at_now) == top(cat.load_index_catalog(spark, prefix))

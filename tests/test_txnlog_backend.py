@@ -453,3 +453,56 @@ def test_txn_checkpoint_refolds_on_interleaved_commit(spark, golden_corpus_df,
     assert cp["metrics"]["last_doc"] == 42  # refolded over the rival
     assert "rival" in cp["append_metrics"]
     assert cp["metrics"]["n_appends"] == 1
+
+
+def test_txn_time_travel_snapshots(spark, golden_corpus_df, tmp_path):
+    """at_seq reproduces the index exactly as it stood after each
+    commit; expired snapshots (log prefix pruned / data dirs vacuumed)
+    raise instead of silently serving newer state."""
+    path = str(tmp_path / "idx")
+    _base(spark, golden_corpus_df, path)
+    q = spark.createDataFrame([(1, "hoja roja rica")], "query_id long, qtext string")
+
+    def top(idx):
+        return [(r.rank, r.doc_id, round(r.score, 9))
+                for r in search_bm25_wand(idx, q, 3).orderBy("rank").collect()]
+
+    snap1 = top(tx.load_index_txn(spark, path))  # docs 1..7
+    tx.append_batch_txn(spark, path,
+                        spark.createDataFrame([(8, "la hoja roja rica")],
+                                              "doc_id long, text string"),
+                        doc_col="doc_id", batch_id="e0", auto_compact_after=None)
+    snap2 = top(tx.load_index_txn(spark, path))
+    tx.append_batch_txn(spark, path,
+                        spark.createDataFrame([(9, "roja roja hoja")],
+                                              "doc_id long, text string"),
+                        doc_col="doc_id", batch_id="e1", auto_compact_after=None)
+    hist = tx.log_history_txn(path)
+    assert [h["op"] for h in hist] == ["init", "append", "append"]
+    assert hist[1]["batch_id"] == "e0" and hist[1]["last_doc"] == 8
+
+    # time travel: each seq reproduces its own state exactly
+    at1 = tx.load_index_txn(spark, path, at_seq=hist[0]["seq"])
+    assert at1.doclens.count() == 7 and at1.last_doc == 7
+    assert top(at1) == snap1
+    at2 = tx.load_index_txn(spark, path, at_seq=hist[1]["seq"])
+    assert at2.doclens.count() == 8 and at2.last_doc == 8
+    assert top(at2) == snap2
+    assert tx.load_index_txn(spark, path, at_seq=hist[2]["seq"]).doclens.count() == 9
+
+    # compaction keeps old snapshots reproducible (removal is logical)
+    tx.compact_index_txn(spark, path)
+    assert top(tx.load_index_txn(spark, path, at_seq=hist[1]["seq"])) == snap2
+
+    # ... until vacuum deletes the superseded dirs: expired raises
+    tx.vacuum_txn(path, min_age_sec=0)
+    with pytest.raises(ValueError, match="expired"):
+        tx.load_index_txn(spark, path, at_seq=hist[0]["seq"]).blocks.count()
+
+    # ... and a pruned log prefix expires every pre-checkpoint seq
+    tx.checkpoint_txn(path)
+    tx.vacuum_log_txn(path, min_age_sec=0)
+    with pytest.raises(ValueError, match="expired"):
+        tx.load_index_txn(spark, path, at_seq=hist[1]["seq"])
+    # the current snapshot is unaffected throughout
+    assert tx.load_index_txn(spark, path).doclens.count() == 9

@@ -164,12 +164,18 @@ class _TableIO:
     def read(self, suffix: str) -> DataFrame:
         return self.spark.table(self.t(suffix))
 
-    def read_published(self, suffix: str) -> DataFrame:
+    def read_published(self, suffix: str,
+                       as_of: Optional[float] = None) -> DataFrame:
         """The stamped table restricted to rows whose commit_id the
         log has published — the ONLY correct read of a stamped table
         (unpublished rows are crashed-append orphans). The log is
-        metadata-sized, so the semi-join broadcasts."""
-        ids = self.read("log").select("commit_id").where(
+        metadata-sized, so the semi-join broadcasts. ``as_of`` restricts
+        publication to log rows committed at or before that timestamp
+        (time travel — see load_index_catalog)."""
+        log = self.read("log")
+        if as_of is not None:
+            log = log.filter(F.col("committed_at") <= float(as_of))
+        ids = log.select("commit_id").where(
             F.col("commit_id").isNotNull()).distinct()
         return (self.read(suffix)
                 .join(F.broadcast(ids), "commit_id", "left_semi")
@@ -233,13 +239,47 @@ def save_index_catalog(index: BM25Index, prefix: str, *,
         _LOG_SCHEMA), "log")
 
 
-def load_index_catalog(spark: SparkSession, prefix: str) -> BM25Index:
+def log_history_catalog(spark: SparkSession, prefix: str) -> list[dict]:
+    """The index's commit history, oldest first — one dict per log row.
+    Every row's ``committed_at`` is a valid
+    ``load_index_catalog(as_of=...)`` target, subject to the
+    compaction floor documented there."""
+    io = _TableIO(spark, prefix)
+    return [r.asDict() for r in io.read("log").orderBy("committed_at").collect()]
+
+
+def load_index_catalog(spark: SparkSession, prefix: str,
+                       as_of: Optional[float] = None) -> BM25Index:
     """Load the index from catalog tables. On an ACID V2 format every
     table read is a snapshot; on V1 parquet tables the read is
-    whatever files are live (single-writer contract)."""
+    whatever files are live (single-writer contract).
+
+    ``as_of`` (a ``committed_at`` timestamp from ``log_history_catalog``)
+    time-travels: only batches published at or before it are visible —
+    appends are pure table-appends of commit-stamped rows, so an older
+    snapshot is served by filtering publication to the log prefix.
+    LIMIT: a later COMPACTION physically replaced the blocks table, so
+    snapshots older than the newest compaction are unreachable through
+    this backend's own log (the load raises); on an Iceberg/Delta
+    catalog the format's snapshot time travel (VERSION AS OF) serves
+    those — compaction there is one RTAS snapshot and old snapshots
+    expire by retention policy, exactly like the txnlog backend's
+    vacuum."""
     io = _TableIO(spark, prefix)
     meta = json.loads(io.read("meta").collect()[0][0])
-    blocks = io.read_published("blocks")
+    if as_of is not None:
+        floor = (io.read("log")
+                 .filter((F.col("op") == "compact")
+                         & (F.col("committed_at") > float(as_of)))
+                 .count())
+        if floor:
+            raise ValueError(
+                f"snapshot as_of={as_of} at {prefix} predates a later "
+                "compaction: the pre-compaction block rows were replaced "
+                "and are not reproducible from this backend's commit log "
+                "(use the table format's own time travel on an "
+                "Iceberg/Delta catalog)")
+    blocks = io.read_published("blocks", as_of)
     from ..operators.postings import validate_blocks_schema
 
     validate_blocks_schema(blocks, where=f"catalog blocks at {prefix}")
@@ -249,21 +289,25 @@ def load_index_catalog(spark: SparkSession, prefix: str) -> BM25Index:
         params=BM25Params(**meta["params"]),
         bm25=FoldedBM25.from_json(json.dumps(meta["bm25"])),
         vocab=io.read("vocab"),
-        postings=io.read_published("postings"),
-        doclens=io.read_published("doclens"),
+        postings=io.read_published("postings", as_of),
+        doclens=io.read_published("doclens", as_of),
         n_docs=meta["n_docs"],
         avgdl=meta["avgdl"],
         blocks=blocks,
         qgrams=qgrams,
-        last_doc=high_water_mark_catalog(spark, prefix),
+        last_doc=high_water_mark_catalog(spark, prefix, as_of),
     )
 
 
-def high_water_mark_catalog(spark: SparkSession, prefix: str) -> int:
+def high_water_mark_catalog(spark: SparkSession, prefix: str,
+                            as_of: Optional[float] = None) -> int:
     """Max last_doc over the commit-log TABLE — one tiny aggregate over
     a metadata-sized relation, never a doclens scan."""
     io = _TableIO(spark, prefix)
-    row = io.read("log").agg(F.max("last_doc")).collect()[0]
+    log = io.read("log")
+    if as_of is not None:
+        log = log.filter(F.col("committed_at") <= float(as_of))
+    row = log.agg(F.max("last_doc")).collect()[0]
     return int(row[0] or 0)
 
 

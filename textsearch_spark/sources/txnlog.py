@@ -359,18 +359,62 @@ def save_index_txn(index: BM25Index, path: str, *,
     }, validate=_must_be_first)
 
 
+def log_history_txn(index_dir: str) -> list[dict]:
+    """The index's committed snapshot history, oldest first — one row
+    per log entry: ``{seq, op, committed_at, batch_id?, last_doc?}``.
+    Every listed ``seq`` is a valid ``load_index_txn(at_seq=...)``
+    target while (a) the log prefix reaching it survives
+    ``vacuum_log_txn`` and (b) its data dirs survive ``vacuum_txn`` —
+    the same snapshot-expiry contract as Iceberg's expire_snapshots."""
+    out = []
+    for e in read_log(index_dir):
+        row = {"seq": e["seq"], "op": e.get("op"),
+               "committed_at": e.get("committed_at")}
+        if e.get("batch_id") is not None:
+            row["batch_id"] = e["batch_id"]
+        if "last_doc" in e.get("metrics", {}):
+            row["last_doc"] = int(e["metrics"]["last_doc"])
+        out.append(row)
+    return out
+
+
 def load_index_txn(spark: SparkSession, path: str,
-                   log: Optional[list] = None) -> BM25Index:
+                   log: Optional[list] = None,
+                   at_seq: Optional[int] = None) -> BM25Index:
     """Snapshot-isolated load: folds the log once; the returned frames
     read only the dirs live at THIS snapshot, so concurrent appends,
     compactions, or vacuums of newer garbage never change its results.
-    No lock, no recovery step — there is nothing to roll forward."""
+    No lock, no recovery step — there is nothing to roll forward.
+
+    ``at_seq`` time-travels: fold only log entries with seq <= at_seq,
+    reproducing the index exactly as it stood after that commit
+    (``log_history_txn`` lists the targets). Data dirs are immutable
+    and removals are logical (a compact entry's ``remove`` list), so an
+    old snapshot stays byte-reproducible until ``vacuum_txn`` deletes
+    its unreferenced dirs / ``vacuum_log_txn`` prunes its log prefix —
+    past that the load raises a snapshot-expired error instead of
+    silently serving a newer state (Iceberg expire_snapshots
+    semantics)."""
     with open(os.path.join(path, META)) as f:
         meta = json.load(f)
+    if at_seq is not None:
+        full = log if log is not None else read_log(path)
+        log = [e for e in full if e["seq"] <= int(at_seq)]
+        if not log or not _log_is_coherent(log):
+            raise ValueError(
+                f"snapshot seq {at_seq} at {path} has expired: the log "
+                f"prefix reaching it was pruned by vacuum_log_txn "
+                f"(surviving entries: {[e['seq'] for e in full]})")
     snap = snapshot(path, log)
 
     def table(name: str) -> DataFrame:
         dirs = [os.path.join(path, d) for d in snap[name]]
+        if at_seq is not None:
+            gone = [d for d in dirs if not os.path.isdir(d)]
+            if gone:
+                raise ValueError(
+                    f"snapshot seq {at_seq} at {path} has expired: "
+                    f"vacuum_txn deleted its data dirs {gone}")
         for d in dirs:
             spark.catalog.refreshByPath(d)
         return spark.read.parquet(*dirs)
