@@ -883,16 +883,13 @@ def q_bm25_topk_txnlog(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
-def q_bm25_topk_catalog(spark, sf_dir):
-    """The catalog-table backend end-to-end (sources/catalog.py): save
-    the index as catalog tables (V2 ``writeTo`` when an Iceberg/Delta
-    catalog is configured; session-catalog managed parquet here),
-    append two batches as table appends + commit-log rows, compact the
-    blocks table via REPLACE, then WAND top-k over the loaded snapshot.
-    Same closed-form frozen-stat oracle as bm25_topk_appended — no step
-    of the lifecycle may change any score."""
-    import uuid
-
+def _catalog_lifecycle(spark, sf_dir, prefix):
+    """Shared body for the two catalog-backend oracle entries: save the
+    index as catalog tables under ``prefix``, append two batches as
+    table appends + commit-log rows, compact the blocks table via
+    REPLACE, then WAND top-k over the loaded snapshot. Same closed-form
+    frozen-stat oracle as bm25_topk_appended — no step of the lifecycle
+    may change any score."""
     from textsearch_spark.operators.postings import build_posting_blocks
     from textsearch_spark.operators.wand import search_bm25_wand
     from textsearch_spark.plans.build import build_bm25_index
@@ -902,7 +899,6 @@ def q_bm25_topk_catalog(spark, sf_dir):
     mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
     q3 = (mid * 3) // 2
     base = docs.filter(F.col("doc_id") <= mid)
-    prefix = f"ts_oracle_{uuid.uuid4().hex[:10]}"
     io = cat._TableIO(spark, prefix)
     try:
         idx = build_bm25_index(base, _cfg())
@@ -926,64 +922,35 @@ def q_bm25_topk_catalog(spark, sf_dir):
         io.drop_all()
 
 
-def q_bm25_topk_catalog_v2(spark, sf_dir):
-    """The SAME catalog lifecycle as bm25_topk_catalog, but through a
-    genuine DataFrameWriterV2 catalog: Spark's built-in JDBC
-    TableCatalog over in-memory Derby (the one V2 TableCatalog on this
-    container's classpath — no Iceberg/Delta jar ships here). Every
-    write is a real ``writeTo(t).createOrReplace()/append()/replace()``
-    against a configured ``spark.sql.catalog.*`` plugin, i.e. the
-    production Iceberg code path (an Iceberg catalog differs only in
-    implementing StagingTableCatalog — atomic RTAS instead of the
-    pinned non-staging REPLACE, branch-covered in
-    tests/test_catalog_backend.py). Identical closed-form oracle: no
-    step of the lifecycle may change any score."""
+def q_bm25_topk_catalog(spark, sf_dir):
+    """The catalog-table backend end-to-end (sources/catalog.py) on the
+    V1 session-catalog path (managed parquet tables here; an
+    Iceberg/Delta catalog flips the same seam to V2 ``writeTo``)."""
     import uuid
 
-    from textsearch_spark.operators.postings import build_posting_blocks
-    from textsearch_spark.operators.wand import search_bm25_wand
-    from textsearch_spark.plans.build import build_bm25_index
+    return _catalog_lifecycle(spark, sf_dir,
+                              f"ts_oracle_{uuid.uuid4().hex[:10]}")
+
+
+def q_bm25_topk_catalog_v2(spark, sf_dir):
+    """The SAME catalog lifecycle through a genuine DataFrameWriterV2
+    catalog: Spark's built-in JDBC TableCatalog over in-memory Derby
+    (the one V2 TableCatalog on this container's classpath — no
+    Iceberg/Delta jar ships here). Every write is a real
+    ``writeTo(t).createOrReplace()/append()/replace()`` against a
+    configured ``spark.sql.catalog.*`` plugin, i.e. the production
+    Iceberg code path (an Iceberg catalog differs only in implementing
+    StagingTableCatalog — atomic RTAS instead of the pinned non-staging
+    REPLACE, branch-covered in tests/test_catalog_backend.py)."""
+    import uuid
+
     from textsearch_spark.sources import catalog as cat
 
-    base_conf = "spark.sql.catalog.jdbccat"
-    if spark.conf.get(base_conf, None) is None:
-        spark.conf.set(base_conf, "org.apache.spark.sql.execution."
-                                  "datasources.v2.jdbc.JDBCTableCatalog")
-        spark.conf.set(base_conf + ".url",
-                       f"jdbc:derby:memory:tsentry_{uuid.uuid4().hex[:8]};create=true")
-        spark.conf.set(base_conf + ".driver", "org.apache.derby.jdbc.EmbeddedDriver")
-        # Derby maps Spark strings to CLOB (not comparable inside
-        # Derby) — keep operator pushdown off; evaluation is Spark-side
-        for k in ("pushDownPredicate", "pushDownAggregate",
-                  "pushDownLimit", "pushDownOffset"):
-            spark.conf.set(f"{base_conf}.{k}", "false")
-
-    docs = _docs(spark, sf_dir)
-    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
-    q3 = (mid * 3) // 2
-    base = docs.filter(F.col("doc_id") <= mid)
-    prefix = f"jdbccat.ts_oracle_{uuid.uuid4().hex[:10]}"
-    io = cat._TableIO(spark, prefix)
-    assert io.v2, "jdbccat must resolve to the writeTo (V2) path"
-    try:
-        idx = build_bm25_index(base, _cfg())
-        idx.blocks = build_posting_blocks(idx.postings, span=256)
-        cat.save_index_catalog(idx, prefix)
-        cat.append_batch_catalog(
-            spark, prefix,
-            docs.filter((F.col("doc_id") > mid) & (F.col("doc_id") <= q3)),
-            doc_col="doc_id", batch_id="e0")
-        cat.append_batch_catalog(
-            spark, prefix, docs.filter(F.col("doc_id") > q3),
-            doc_col="doc_id", batch_id="e1")
-        cat.compact_index_catalog(spark, prefix)
-        idx2 = cat.load_index_catalog(spark, prefix)
-        res = search_bm25_wand(idx2, _query_df(spark), TOP_K).select(
-            "query_id", "rank", "doc_id", F.round("score", 4).alias("score4")
-        )
-        return spark.createDataFrame(res.collect(), res.schema)
-    finally:
-        io.drop_all()
+    head = cat.configure_jdbc_v2_catalog(spark)
+    prefix = f"{head}.ts_oracle_{uuid.uuid4().hex[:10]}"
+    assert cat._TableIO(spark, prefix).v2, \
+        "configured catalog must resolve to the writeTo (V2) path"
+    return _catalog_lifecycle(spark, sf_dir, prefix)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -36,31 +36,10 @@ CFG = TextConfig(nlist=[1])
 V2_CATALOG = "jdbccat"
 
 
-def ensure_v2_catalog(spark) -> str:
-    """Configure (once per session) a genuine V2 TableCatalog: Spark's
-    JDBCTableCatalog over in-memory Derby. Derby maps Spark strings to
-    CLOB, which its own engine cannot compare, so every operator
-    pushdown is kept off — predicates/aggregates evaluate in Spark
-    (production Iceberg keeps pushdown; pushdown is orthogonal to the
-    lifecycle seam under test)."""
-    base = f"spark.sql.catalog.{V2_CATALOG}"
-    if spark.conf.get(base, None) is None:
-        spark.conf.set(
-            base,
-            "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
-        spark.conf.set(base + ".url",
-                       f"jdbc:derby:memory:tscat_{uuid.uuid4().hex[:8]};create=true")
-        spark.conf.set(base + ".driver", "org.apache.derby.jdbc.EmbeddedDriver")
-        for k in ("pushDownPredicate", "pushDownAggregate",
-                  "pushDownLimit", "pushDownOffset"):
-            spark.conf.set(f"{base}.{k}", "false")
-    return V2_CATALOG
-
-
 @pytest.fixture(params=["v1", "v2"])
 def prefix(spark, request):
     if request.param == "v2":
-        head = ensure_v2_catalog(spark)
+        head = cat.configure_jdbc_v2_catalog(spark, V2_CATALOG)
         p = f"{head}.tsidx_{uuid.uuid4().hex[:8]}"
         io = cat._TableIO(spark, p)
         assert io.v2, "configured catalog must take the writeTo path"
@@ -261,3 +240,86 @@ def test_catalog_time_travel(spark, golden_corpus_df, prefix):
     at_now = cat.load_index_catalog(spark, prefix, as_of=hist2[-1]["committed_at"])
     assert at_now.doclens.count() == 9
     assert top(at_now) == top(cat.load_index_catalog(spark, prefix))
+
+
+def test_duplicate_publish_resolves_to_one_winner(spark, golden_corpus_df, prefix):
+    """r05 review: log appends never conflict (not even on Iceberg), so
+    a slow original racing its own retry can publish the same batch
+    TWICE. Readers must honor only the earliest append log row per
+    batch_id; the loser's rows are orphans vacuum reclaims."""
+    import time as _time
+
+    from textsearch_spark.operators.postings import build_posting_blocks
+    from textsearch_spark.streaming.append import compute_batch_postings
+
+    _base(spark, golden_corpus_df, prefix)
+    new = spark.createDataFrame(
+        [(8, "la hoja roja rica")], "doc_id long, text string")
+    m = cat.append_batch_catalog(spark, prefix, new, doc_col="doc_id",
+                                 batch_id="race-1")
+    assert m["n_docs_appended"] == 1
+
+    # the racing duplicate: same batch content, fresh commit_id, its
+    # own (later) log row — exactly what a slow first attempt landing
+    # after the retry's publish looks like
+    io = cat._TableIO(spark, prefix)
+    idx = cat.load_index_catalog(spark, prefix)
+    postings, _, _, _, docs = compute_batch_postings(
+        spark, idx, new, doc_col="doc_id", text_col="text", hwm=7)
+    postings = postings.cache()
+    blocks = build_posting_blocks(postings, span=4)
+    commit_id, n_rows = cat._write_batch_data(io, postings, blocks)
+    io.append(spark.createDataFrame(
+        [("append", "race-1", commit_id, 8, n_rows, _time.time())],
+        cat._LOG_SCHEMA), "log")
+    postings.unpersist()
+    docs.unpersist()
+
+    # exactly ONE copy visible despite two published-looking log rows
+    idx2 = cat.load_index_catalog(spark, prefix)
+    assert idx2.doclens.filter("doc_id = 8").count() == 1
+    assert idx2.postings.groupBy("token", "doc_id").count() \
+        .filter("count > 1").count() == 0
+    q = spark.createDataFrame([(1, "hoja roja")], "query_id long, qtext string")
+    res = search_bm25(idx2, q, 3).orderBy("rank").collect()
+
+    # vacuum reclaims the loser's rows; results unchanged
+    removed = cat.vacuum_catalog(spark, prefix)
+    assert removed["doclens"] == 1 and removed["postings"] > 0
+    res2 = search_bm25(cat.load_index_catalog(spark, prefix), q, 3) \
+        .orderBy("rank").collect()
+    assert [(r.doc_id, r.score) for r in res] == \
+           [(r.doc_id, r.score) for r in res2]
+
+
+def test_phantom_compact_does_not_bar_time_travel(spark, golden_corpus_df, prefix):
+    """r05 review: compaction publishes its log row BEFORE the REPLACE;
+    a crash between the two leaves a compact entry that replaced
+    nothing. Older snapshots are still fully materialized and must not
+    be rejected for it."""
+    import time as _time
+    import uuid as _uuid
+
+    _base(spark, golden_corpus_df, prefix)
+    cat.append_batch_catalog(
+        spark, prefix,
+        spark.createDataFrame([(8, "la hoja roja rica")], "doc_id long, text string"),
+        doc_col="doc_id", batch_id="e0")
+    hist = cat.log_history_catalog(spark, prefix)
+    t_e0 = hist[-1]["committed_at"]
+
+    # the crash: compact log row lands, the REPLACE never runs
+    io = cat._TableIO(spark, prefix)
+    io.append(spark.createDataFrame(
+        [("compact", None, f"cmp-{_uuid.uuid4().hex[:12]}", 8, 0, _time.time())],
+        cat._LOG_SCHEMA), "log")
+
+    # time travel to the pre-"compaction" snapshot still serves
+    at = cat.load_index_catalog(spark, prefix, as_of=t_e0)
+    assert at.doclens.count() == 8
+    assert cat.load_index_catalog(spark, prefix).doclens.count() == 8
+
+    # a REAL compaction afterwards does bar older snapshots
+    cat.compact_index_catalog(spark, prefix)
+    with pytest.raises(ValueError, match="compaction"):
+        cat.load_index_catalog(spark, prefix, as_of=t_e0)

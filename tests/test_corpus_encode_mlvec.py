@@ -155,3 +155,36 @@ def test_from_ml_dense_vectors(spark, tok_ids):
     got = sorted((r.token, r.weight)
                  for r in dv.from_ml_vectors(df, tok_ids).collect())
     assert got == [("b", 2.0), ("d", 1.5)]  # zeros stay absent
+
+
+def test_ml_vectors_explicit_base_and_empty_map(spark, weighted):
+    """r05 review: inference is min>=1, so a 0-based SUBSET map lacking
+    id 0 needs one_based=False — passing it must keep ids unshifted;
+    and an empty token_ids map without dim raises instead of crashing
+    on int(None)."""
+    import pytest
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # 0-based subset {b:1, c:2} (no id 0 present): inference would
+    # wrongly shift; the explicit flag must not
+    sub = spark.createDataFrame([("b", 1), ("c", 2)], "token string, token_id int")
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("vector", VectorUDT())])
+    df = spark.createDataFrame([(1, SparseVector(4, [1, 2], [2.0, 3.0]))], schema)
+    got = sorted((r.token, r.weight)
+                 for r in dv.from_ml_vectors(df, sub, one_based=False).collect())
+    assert got == [("b", 2.0), ("c", 3.0)]
+    # and the inferred (default) call on the same map decodes shifted —
+    # the documented sharp edge the flag exists for
+    inferred = sorted((r.token, r.weight)
+                      for r in dv.from_ml_vectors(df, sub).collect())
+    assert inferred != got
+
+    empty = spark.createDataFrame([], "token string, token_id int")
+    with pytest.raises(ValueError, match="dim"):
+        dv.to_ml_vectors(weighted, empty)
+    out = {r.doc_id: r.vector for r in
+           dv.to_ml_vectors(weighted, empty, dim=5).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(v.size == 5 and v.numNonzeros() == 0 for v in out.values())

@@ -1,8 +1,15 @@
-"""The per-query pin registry (operators/search.pin_query_relation):
-every search call persists its tokenized-query relation; the registry
-must EVICT older pins so a long-lived serving session holds at most
-_PIN_CAP cached query batches — and eviction must not change results
-(persist keeps lineage; an evicted relation recomputes).
+"""Query-relation pinning for the Catalyst scorers.
+
+The scorers freeze their tokenized-query relation with ONE collect
+(operators/search.materialize_query_relation): every consumer — the
+IN-pushdown term collect and the broadcast scoring join — reads the
+same frozen driver-side rows, so a non-deterministic queries source
+can never be re-evaluated into an inconsistent term set, results
+collected LATE (after many other searches) included. Serving sessions
+therefore accumulate no cached query relations at all.
+
+pin_query_relation (the bounded persist registry) remains as a general
+utility; its eviction-safety contract is pinned here too.
 """
 
 import pytest
@@ -33,15 +40,19 @@ def test_pin_registry_bounded(spark):
     searchmod._pinned.clear()
 
 
-def test_search_does_not_accumulate_pins(spark, golden_corpus_df):
+def test_search_accumulates_no_cached_relations(spark, golden_corpus_df):
+    """A serving loop of many query batches must not grow executor
+    cache at all — the query relation is driver-frozen, not persisted."""
     idx = build_bm25_index(golden_corpus_df, TextConfig(nlist=[1]))
     searchmod._pinned.clear()
     expect = None
-    counts = []
-    # distinct query text per batch so no two pinned plans are
-    # cache-manager duplicates of each other
+    # one warm-up search materializes the INDEX-side lazy caches
+    # (postings/vocab) so the loop below measures only per-batch growth
+    search_bm25(idx, spark.createDataFrame([(0, "casa")],
+                "query_id long, qtext string"), k=3).collect()
+    base = _cached_count(spark)
     texts = ["casa verde", "manzana roja", "pera rica", "hoja verde"]
-    for i in range(searchmod._PIN_CAP + 4):
+    for i in range(12):
         q = spark.createDataFrame([(1, texts[i % len(texts)])],
                                   "query_id long, qtext string")
         rows = search_bm25(idx, q, k=3).orderBy("rank").collect()
@@ -49,12 +60,34 @@ def test_search_does_not_accumulate_pins(spark, golden_corpus_df):
             got = [(r.rank, r.doc_id) for r in rows]
             if expect is None:
                 expect = got
-            assert got == expect  # eviction never changes any result
-        counts.append(_cached_count(spark))
-    # once the cap is reached, each new pin evicts one: the persistent-
-    # RDD count PLATEAUS instead of growing per query batch
-    assert len(searchmod._pinned) == searchmod._PIN_CAP
-    assert counts[-1] <= counts[searchmod._PIN_CAP - 1] + 1
-    for df in searchmod._pinned:
-        df.unpersist(blocking=False)
-    searchmod._pinned.clear()
+            assert got == expect  # batch count never changes any result
+    assert _cached_count(spark) == base
+    assert not searchmod._pinned
+
+
+def test_late_collect_sees_frozen_query_relation(spark, golden_corpus_df):
+    """The r05 review scenario: build MANY search results over a
+    NON-DETERMINISTIC queries source, collect them only afterwards —
+    every result must reflect exactly the rows its own single
+    evaluation saw (no silent truncation from a recompute serving a
+    different sample)."""
+    idx = build_bm25_index(golden_corpus_df, TextConfig(nlist=[1]))
+    all_q = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["casa verde", "manzana roja", "pera rica", "hoja verde",
+             "casa azul", "manzana verde", "la pera", "roja rica"] * 2)],
+        "query_id long, qtext string")
+    results = []
+    for i in range(12):
+        # unordered limit over a shuffled frame: re-evaluation is free
+        # to return a different row — the classic hazard source
+        nd = all_q.orderBy(F.rand(seed=i)).limit(1)
+        results.append((nd, search_bm25(idx, nd, k=3)))
+    # collect LATE, after every other search has come and gone
+    for nd, res in results:
+        rows = res.collect()
+        qids = {r.query_id for r in rows}
+        # exactly one query was evaluated into this result, and every
+        # returned row belongs to ONE query id (no phantom queries, no
+        # truncation to zero for an in-vocab text)
+        assert len(qids) == 1, qids

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.weighting import EMPTY_SENTINEL, VectorModel, vectorize
-from .search import pin_query_relation, prune_postings_by_terms
+from .search import materialize_query_relation, prune_postings_by_terms
 
 
 def search_cosine(
@@ -33,14 +33,11 @@ def search_cosine(
     qv = qv.filter(F.col("token") != EMPTY_SENTINEL).select(
         F.col(id_col), F.col("token"), F.col("weight").alias("__qw")
     )
-    # pin + materialize ONCE: qv feeds both the IN-pushdown collect and
-    # the scoring join (see search_bm25 — same double-consumption and
-    # non-deterministic-source hazard). persist keeps lineage so an
-    # executor loss recomputes instead of failing the query (a
-    # localCheckpoint here was a fault-tolerance regression); the
-    # shared registry evicts pins from older query batches so serving
-    # sessions don't accumulate one cached relation per batch.
-    qv = pin_query_relation(qv)
+    # evaluate ONCE, freeze on the driver: qv feeds both the
+    # IN-pushdown collect and the scoring join (see search_bm25 — same
+    # double-consumption and non-deterministic-source hazard; the
+    # collect is bounded by batch size x distinct query terms).
+    qv = materialize_query_relation(qv)
     p = corpus_vectors.filter(F.col("token") != EMPTY_SENTINEL)
     p = prune_postings_by_terms(p, qv)
     scored = (

@@ -185,8 +185,28 @@ def from_indexed(indexed: DataFrame, token_ids: DataFrame, *, id_col: str = "doc
     )
 
 
+def _normalize_token_ids(token_ids: DataFrame, one_based: Optional[bool]):
+    """(ids shifted to 0-based, max 0-based id or None if empty).
+
+    ``one_based=None`` infers from min(token_id) >= 1 — right for the
+    two producers in this package (``with_term_ids`` emits dense
+    1-based ids that always include 1; 0-based ML maps always include
+    0) but WRONG for a caller-made subset map that merely lacks its
+    lowest id: pass ``one_based`` explicitly for those."""
+    ids = token_ids.select("token", F.col("token_id").cast("int").alias("token_id"))
+    lo_hi = ids.agg(F.min("token_id"), F.max("token_id")).first()
+    if lo_hi[0] is None:
+        return ids, None
+    shift = bool(lo_hi[0] >= 1) if one_based is None else bool(one_based)
+    if shift:
+        ids = ids.withColumn("token_id", F.col("token_id") - 1)
+        return ids, int(lo_hi[1]) - 1
+    return ids, int(lo_hi[1])
+
+
 def to_ml_vectors(vecs: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_id",
-                  dim: Optional[int] = None, vector_col: str = "vector") -> DataFrame:
+                  dim: Optional[int] = None, vector_col: str = "vector",
+                  one_based: Optional[bool] = None) -> DataFrame:
     """Long form -> ``(id, vector)`` with an actual
     ``pyspark.ml.linalg.SparseVector`` column (SURVEY D6; the
     reference's ``sparsevec`` conversion, src/sparseconversions.jl:
@@ -194,7 +214,9 @@ def to_ml_vectors(vecs: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_i
 
     ``token_ids`` maps (token, token_id) with 0-based ML indices;
     1-based ids (``with_term_ids``'s ``term_id``) are shifted down
-    automatically when ``dim`` is derived. The empty-doc sentinel
+    automatically — the inference is min(token_id) >= 1, so a 0-based
+    SUBSET map that happens to lack id 0 must pass ``one_based=False``
+    explicitly (and symmetric for from_ml_vectors). The empty-doc sentinel
     (EMPTY_SENTINEL, src/vmodel.jl's ``{0 => 1f0}``) carries no
     in-vocabulary term, so an empty/all-OOV doc comes out as an
     all-zero SparseVector of the right dimension — still one row per
@@ -207,14 +229,14 @@ def to_ml_vectors(vecs: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_i
     """
     from pyspark.ml.linalg import SparseVector, VectorUDT
 
-    ids = token_ids.select("token", F.col("token_id").cast("int").alias("token_id"))
-    lo_hi = ids.agg(F.min("token_id"), F.max("token_id")).first()
-    lo = int(lo_hi[0] or 0)
-    if lo >= 1:  # 1-based term ids: shift to 0-based ML indices
-        ids = ids.withColumn("token_id", F.col("token_id") - 1)
-        lo_hi = (lo_hi[0] - 1, lo_hi[1] - 1)
+    ids, max_id = _normalize_token_ids(token_ids, one_based)
     if dim is None:
-        dim = int(lo_hi[1]) + 1
+        if max_id is None:
+            raise ValueError(
+                "to_ml_vectors: token_ids is empty and dim was not "
+                "given — pass dim explicitly to build (all-zero) "
+                "vectors of a known dimension")
+        dim = max_id + 1
     from ..functions.weighting import EMPTY_SENTINEL
 
     idx = to_indexed(vecs.filter(F.col("token") != EMPTY_SENTINEL), ids, id_col=id_col)
@@ -233,7 +255,8 @@ def to_ml_vectors(vecs: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_i
 
 
 def from_ml_vectors(df: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_id",
-                    vector_col: str = "vector") -> DataFrame:
+                    vector_col: str = "vector",
+                    one_based: Optional[bool] = None) -> DataFrame:
     """Inverse of :func:`to_ml_vectors`: ``(id, vector)`` -> long form
     ``(id, token, weight)`` (the reference's ``dvec(sparsevector)``,
     src/sparseconversions.jl:12-14 — zeros stay absent, so an all-zero
@@ -254,10 +277,7 @@ def from_ml_vectors(df: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_i
             return [(int(i), float(x)) for i, x in zip(v.indices, v.values)]
         return [(i, float(x)) for i, x in enumerate(v) if x != 0.0]  # DenseVector
 
-    ids = token_ids.select("token", F.col("token_id").cast("int").alias("token_id"))
-    lo = ids.agg(F.min("token_id")).first()[0]
-    if lo is not None and int(lo) >= 1:
-        ids = ids.withColumn("token_id", F.col("token_id") - 1)
+    ids, _ = _normalize_token_ids(token_ids, one_based)
     x = df.select(id_col, F.explode(_pairs(vector_col)).alias("__p")).select(
         id_col, F.col("__p.token_id").alias("token_id"), F.col("__p.weight").alias("weight"))
     return x.join(F.broadcast(ids), "token_id").select(id_col, "token", "weight")

@@ -29,16 +29,14 @@ from pyspark.storagelevel import StorageLevel
 from ..functions.udfs import exploded_tokens
 from ..plans.build import BM25Index
 
-# Bounded registry of persisted per-query relations. Every search call
-# pins its tokenized-query frame (persist + eager count) so the
-# expensive tokenization / typo similarity-join runs once across its
-# two consumers; without eviction a long-lived serving session would
-# accumulate one cached relation PER QUERY BATCH for its whole
-# lifetime. Eviction is always safe precisely because these are
+# Bounded registry of persisted per-query relations (general utility;
+# the two scorers below no longer need it on the hot path — they pin
+# their query relation by COLLECTING it once, see materialize_query_
+# relation). Eviction is always safe precisely because these are
 # persists, not checkpoints: lineage survives, so an evicted relation
-# that some caller collects later just recomputes. Cap 8 comfortably
-# outlives the collect-right-after-search pattern every caller here
-# uses.
+# that some caller collects later just recomputes — but NOTE that a
+# recompute of a non-deterministic source yields different rows, which
+# is exactly why the scorers moved off this mechanism.
 _PIN_CAP = 8
 _pinned: list[DataFrame] = []
 
@@ -57,6 +55,26 @@ def pin_query_relation(df: DataFrame) -> DataFrame:
         except Exception:
             pass  # its SparkSession may already be stopped
     return df
+
+
+def materialize_query_relation(df: DataFrame) -> DataFrame:
+    """Evaluate the (bounded) tokenized-query relation EXACTLY ONCE —
+    one collect — and rebuild it as a local-rows DataFrame.
+
+    Every downstream consumer (the IN-pushdown term collect, the
+    broadcast scoring join) then reads frozen driver-side rows, so a
+    non-deterministic queries source (sample(), unordered limit())
+    can never be re-evaluated into an inconsistent term set — not by
+    a second consumer, not by cache eviction, not by executor loss.
+    This is the same driver-materialization contract as the WAND
+    scorer's query map (operators/wand.py): bounded by batch size x
+    distinct query terms; callers with 10^6+ query batches use the
+    chunked drivers. Earlier designs (localCheckpoint: executor loss
+    fails the query; bounded persist registry: eviction re-exposed
+    the recompute hazard for results collected late) both lost a
+    property this keeps."""
+    rows = df.collect()
+    return df.sparkSession.createDataFrame(rows, df.schema)
 
 
 def query_tokens(index: BM25Index, queries: DataFrame, *, query_col: str = "qtext",
@@ -143,20 +161,13 @@ def search_bm25(
     """
     q = query_tokens(index, queries, query_col=query_col, id_col=id_col,
                      typo_tolerant=typo_tolerant, maxdist=maxdist)
-    # pin + materialize ONCE: q is consumed twice (the IN-pushdown
-    # collect below and the scoring join), so without this the
-    # tokenization — and the whole typo-tolerant similarity join —
-    # re-ran per consumer, and a non-deterministic queries source
-    # (sample(), unordered limit()) could yield a prune term set
-    # inconsistent with the join's, silently truncating results.
-    # persist + eager count rather than localCheckpoint: checkpointed
-    # partitions are NOT recomputable, so an executor loss between
-    # tokenization and the scoring join would fail the whole query;
-    # persist keeps lineage (recompute stays possible — in that rare
-    # recompute-after-loss case a nondeterministic source reverts to
-    # standard Spark recompute semantics) while still computing the
-    # expensive tokenization/similarity-join exactly once normally.
-    q = pin_query_relation(q)
+    # evaluate ONCE, freeze on the driver: q is consumed twice (the
+    # IN-pushdown collect below and the scoring join), so the expensive
+    # tokenization — and the whole typo-tolerant similarity join — must
+    # not re-run per consumer, and a non-deterministic queries source
+    # must not be able to yield a prune term set inconsistent with the
+    # join's (silent truncation). See materialize_query_relation.
+    q = materialize_query_relation(q)
 
     p = index.postings
     if accept_min_ndocs is not None:

@@ -42,14 +42,19 @@ scan).
 three data tables; neither the session catalog nor Iceberg gives a
 transaction spanning tables, so the multi-table commit point is the
 LOG ROW: every data row carries a ``commit_id`` stamp, readers filter
-each data table to commit_ids present in the log (a broadcast
+each data table to commit_ids the log publishes (a broadcast
 left-semi against the metadata-sized log), and an append writes data
 first, log row last. A crash mid-append leaves orphan rows that no
 reader ever sees; the retry re-writes under a FRESH commit_id and
-publishes exactly once (the batch_id replay check). Compaction
-inverts the order — log row first, then the atomic blocks REPLACE —
-so its crash window shows readers the old, still-published rows.
-``vacuum_catalog`` rewrites unpublished orphans out.
+publishes exactly once (the batch_id replay check). Because log
+appends never conflict — not even on Iceberg — a slow original racing
+its own retry can land TWO log rows for one batch; readers resolve
+that deterministically by honoring only the earliest append log row
+per batch_id (``_TableIO.published_ids``), demoting the loser to an
+ordinary orphan. Compaction inverts the write order — log row first,
+then the atomic blocks REPLACE — so its crash window shows readers
+the old, still-published rows. ``vacuum_catalog`` rewrites
+unpublished orphans out.
 """
 
 from __future__ import annotations
@@ -164,21 +169,49 @@ class _TableIO:
     def read(self, suffix: str) -> DataFrame:
         return self.spark.table(self.t(suffix))
 
+    def published_ids(self, as_of: Optional[float] = None) -> DataFrame:
+        """The set of commit_ids readers treat as published. ``as_of``
+        restricts to log rows committed at or before that timestamp
+        (time travel — see load_index_catalog).
+
+        One batch_id admits ONE winner: the earliest (committed_at,
+        commit_id) append log row per batch_id. Appends to the log
+        table never conflict — not even on Iceberg — so two writers
+        racing the same batch (a slow original vs its retry) can BOTH
+        land data rows and log rows; without winner selection every
+        document in that batch would double-count. Picking the winner
+        at read time is deterministic for every reader, and the loser's
+        rows become ordinary unpublished orphans for vacuum_catalog.
+        (Racing DISTINCT batches remain the caller's coordination
+        problem: two appends computing the same high-water mark assign
+        overlapping auto doc ids — run one appender per index, exactly
+        like the txnlog backend's conflict rule enforces.)"""
+        from pyspark.sql.window import Window
+
+        log = self.read("log").where(F.col("commit_id").isNotNull())
+        if as_of is not None:
+            log = log.filter(F.col("committed_at") <= float(as_of))
+        appends = log.filter((F.col("op") == "append")
+                             & F.col("batch_id").isNotNull())
+        w = Window.partitionBy("batch_id").orderBy("committed_at", "commit_id")
+        winners = (appends.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1))
+        others = log.filter((F.col("op") != "append")
+                            | F.col("batch_id").isNull())
+        return (winners.select("commit_id")
+                .unionByName(others.select("commit_id")).distinct())
+
     def read_published(self, suffix: str,
                        as_of: Optional[float] = None) -> DataFrame:
         """The stamped table restricted to rows whose commit_id the
         log has published — the ONLY correct read of a stamped table
-        (unpublished rows are crashed-append orphans). The log is
-        metadata-sized, so the semi-join broadcasts. ``as_of`` restricts
-        publication to log rows committed at or before that timestamp
-        (time travel — see load_index_catalog)."""
-        log = self.read("log")
-        if as_of is not None:
-            log = log.filter(F.col("committed_at") <= float(as_of))
-        ids = log.select("commit_id").where(
-            F.col("commit_id").isNotNull()).distinct()
+        (unpublished rows are crashed-append orphans; a lost
+        duplicate-publish race is demoted to orphan by the per-batch
+        winner rule, see published_ids). The log is metadata-sized, so
+        the semi-join broadcasts."""
         return (self.read(suffix)
-                .join(F.broadcast(ids), "commit_id", "left_semi")
+                .join(F.broadcast(self.published_ids(as_of)),
+                      "commit_id", "left_semi")
                 .drop("commit_id"))
 
     def exists(self, suffix: str) -> bool:
@@ -188,6 +221,33 @@ class _TableIO:
         for s in ("meta", "vocab", "qgrams", "postings", "doclens",
                   "blocks", "log"):
             self.spark.sql(f"DROP TABLE IF EXISTS {self.t(s)}")
+
+
+def configure_jdbc_v2_catalog(spark: SparkSession, name: str = "jdbccat",
+                              url: Optional[str] = None) -> str:
+    """Configure (idempotently) a REAL DataFrameWriterV2 catalog with
+    zero extra jars: Spark's built-in JDBC TableCatalog over in-memory
+    Derby. Useful to exercise / demo the V2 ``writeTo`` lifecycle where
+    no Iceberg/Delta jar is on the classpath — the same `_TableIO`
+    code path a production Iceberg catalog takes (an Iceberg catalog
+    additionally implements StagingTableCatalog, so its REPLACE is
+    atomic). Derby maps Spark strings to CLOB, which Derby itself
+    cannot compare, so every operator pushdown is disabled —
+    predicates/aggregates evaluate Spark-side (orthogonal to the
+    lifecycle seam). Returns ``name``."""
+    import uuid
+
+    base = f"spark.sql.catalog.{name}"
+    if spark.conf.get(base, None) is None:
+        spark.conf.set(base, "org.apache.spark.sql.execution."
+                             "datasources.v2.jdbc.JDBCTableCatalog")
+        spark.conf.set(base + ".url", url or
+                       f"jdbc:derby:memory:tscat_{uuid.uuid4().hex[:8]};create=true")
+        spark.conf.set(base + ".driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        for k in ("pushDownPredicate", "pushDownAggregate",
+                  "pushDownLimit", "pushDownOffset"):
+            spark.conf.set(f"{base}.{k}", "false")
+    return name
 
 
 def save_index_catalog(index: BM25Index, prefix: str, *,
@@ -268,11 +328,20 @@ def load_index_catalog(spark: SparkSession, prefix: str,
     io = _TableIO(spark, prefix)
     meta = json.loads(io.read("meta").collect()[0][0])
     if as_of is not None:
-        floor = (io.read("log")
-                 .filter((F.col("op") == "compact")
-                         & (F.col("committed_at") > float(as_of)))
-                 .count())
-        if floor:
+        # a later compaction bars the snapshot ONLY if it actually
+        # materialized (blocks rows stamped with its commit_id exist):
+        # compaction publishes its log row BEFORE the REPLACE, so a
+        # crash between the two leaves a phantom compact entry that
+        # replaced nothing — the older snapshot is still fully served
+        # and must not be rejected for it
+        later_cmp = (io.read("log")
+                     .filter((F.col("op") == "compact")
+                             & (F.col("committed_at") > float(as_of)))
+                     .select("commit_id"))
+        materialized = (io.read("blocks")
+                        .join(F.broadcast(later_cmp), "commit_id",
+                              "left_semi").limit(1).count())
+        if materialized:
             raise ValueError(
                 f"snapshot as_of={as_of} at {prefix} predates a later "
                 "compaction: the pre-compaction block rows were replaced "
@@ -435,8 +504,10 @@ def vacuum_catalog(spark: SparkSession, prefix: str) -> dict:
     Uses the same replace seam as compaction (V2: atomic RTAS; V1:
     staged swap, single-writer)."""
     io = _TableIO(spark, prefix)
-    ids = io.read("log").select("commit_id").where(
-        F.col("commit_id").isNotNull()).distinct()
+    # published_ids, not the raw log: a commit that LOST the per-batch
+    # winner race is published-looking in the log but orphaned to every
+    # reader — vacuum reclaims its rows too
+    ids = io.published_ids()
     removed = {}
     for suffix in _STAMPED:
         tbl = io.read(suffix)

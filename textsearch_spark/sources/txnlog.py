@@ -114,13 +114,28 @@ def _log_path(index_dir: str, seq: int) -> str:
 # never observed the checkpoint has no floor — documented limitation of
 # delete-based pruning; tombstones would close it at the cost of the
 # LIST-size win vacuuming exists for.)
-_CP_FLOOR: dict[str, int] = {}
+#
+# Keyed by (abspath, log-dir inode), NOT path alone: deleting and
+# recreating an index at the same path is a NEW log instance whose seqs
+# legitimately restart at 1 — a path-keyed floor would block every
+# commit to the fresh index forever ("pathological writer contention"
+# after 64 stale-listing retries). The inode changes with the recreate,
+# so the stale floor dies with the directory it described.
+_CP_FLOOR: dict[tuple, int] = {}
+
+
+def _floor_key(index_dir: str) -> tuple:
+    try:
+        ino = os.stat(os.path.join(index_dir, LOG_DIR)).st_ino
+    except OSError:
+        ino = None
+    return (os.path.abspath(index_dir), ino)
 
 
 def _observe_checkpoint_floor(index_dir: str, log: list[dict]) -> None:
     cps = [e["seq"] for e in log if e.get("op") == "checkpoint"]
     if cps:
-        key = os.path.abspath(index_dir)
+        key = _floor_key(index_dir)
         _CP_FLOOR[key] = max(_CP_FLOOR.get(key, 0), max(cps))
 
 
@@ -198,7 +213,14 @@ def read_log(index_dir: str) -> list[dict]:
 
     prev_seqs: Optional[tuple] = None
     stalled = 0
-    while True:
+    # hard cap on TOTAL attempts: progress-proportional retries exist
+    # for a legal concurrent vacuum, whose deletions terminate. A
+    # genuinely torn log (mid-log file deleted outside vacuum_log_txn)
+    # with active appenders changes the seq set every listing, so the
+    # stall counter alone would never fire and the reader would spin
+    # forever — 200 listings is far beyond any real vacuum and cheap
+    # to exhaust when the log truly is corrupt.
+    for _ in range(200):
         out = []
         for p in sorted(glob.glob(os.path.join(index_dir, LOG_DIR, "*.json"))):
             try:
@@ -226,6 +248,11 @@ def read_log(index_dir: str) -> list[dict]:
                 "suffix, and stopped changing across retries — mid-log "
                 "files were deleted outside vacuum_log_txn")
         time.sleep(0.05 * (stalled + 1))
+    raise RuntimeError(
+        f"torn transaction log at {index_dir}/{LOG_DIR}: no coherent "
+        "listing in 200 attempts while the entry set kept changing — "
+        "mid-log files are being deleted outside vacuum_log_txn while "
+        "writers keep appending")
 
 
 def _commit(index_dir: str, doc: dict, *, validate=None,
@@ -253,7 +280,7 @@ def _commit(index_dir: str, doc: dict, *, validate=None,
         # observed: a zero-retention vacuum racing our listing can make
         # the log LOOK shorter than a checkpoint we already saw —
         # claiming there would re-create a pruned seq and gap the log
-        floor = _CP_FLOOR.get(os.path.abspath(index_dir), 0)
+        floor = _CP_FLOOR.get(_floor_key(index_dir), 0)
         if doc["seq"] <= floor:
             time.sleep(0.05)
             continue  # stale listing — re-read against the fresh log

@@ -246,7 +246,17 @@ def _append_locked(
         # come from a pre-upgrade manifest or an ad-hoc append — either
         # way NOT a replay of this run's epoch, and silently skipping
         # would drop this batch's documents.
-        if run_id is not None and prior_run != run_id:
+        #
+        # Migration: manifests written before run ids carried the
+        # checkpoint nonce recorded the bare checkpoint PATH. A stream
+        # resumed over that same checkpoint dir after the upgrade mints
+        # 'path#nonce', and its first replayed epoch would mismatch the
+        # legacy 'path' and kill the stream — so the nonce-less path
+        # form of OUR OWN run id is accepted as a replay match. (The
+        # delete-and-recreate guard is unaffected: post-upgrade
+        # manifests always carry a nonce, which the recreate changes.)
+        legacy = run_id.split("#", 1)[0] if run_id else None
+        if run_id is not None and prior_run not in (run_id, legacy):
             what = (f"a DIFFERENT streaming run ({prior_run})"
                     if prior_run is not None else
                     "a writer of UNKNOWN provenance (no recorded run id "

@@ -120,8 +120,12 @@ def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, 
         prior_run = meta.get("run_id")
         # prior_run None = unknown provenance (pre-upgrade state or an
         # ad-hoc merge) — NOT a replay of this run's epoch; raise
-        # rather than silently skip (see streaming/append.py)
-        if run_id is not None and prior_run != run_id:
+        # rather than silently skip. A nonce-less bare checkpoint PATH
+        # equal to our own run id's path prefix IS a replay match
+        # (pre-nonce-upgrade state resumed over the same checkpoint;
+        # see streaming/append.py's migration note).
+        legacy = run_id.split("#", 1)[0] if run_id else None
+        if run_id is not None and prior_run not in (run_id, legacy):
             raise ValueError(
                 f"vocab state {state_dir} was last written by streaming "
                 f"run {prior_run} (epoch {meta['last_batch_id']}); this "
