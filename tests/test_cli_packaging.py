@@ -70,3 +70,54 @@ def test_cli_build_append_search_from_zip(spark, golden_corpus_df, tmp_path):
     assert "index" in stages and "blocks" in stages
     assert "compaction" in stages
     assert not any(s.startswith("append_") for s in stages)
+
+
+def test_cli_txnlog_history_and_time_travel(spark, golden_corpus_df, tmp_path):
+    """CLI surface for the txnlog backend: build/append, `history`
+    lists the snapshots, and `search --at-seq` serves the older one."""
+    from textsearch_spark.session import package_zip
+
+    zip_path = package_zip(str(tmp_path / "textsearch_spark.zip"))
+    corpus = str(tmp_path / "corpus")
+    extra = str(tmp_path / "extra")
+    queries = str(tmp_path / "queries")
+    index = str(tmp_path / "idx_txn")
+    out_now = str(tmp_path / "res_now")
+    out_old = str(tmp_path / "res_old")
+    golden_corpus_df.write.parquet(corpus)
+    spark.createDataFrame(
+        [(8, "la hoja roja rica")], "doc_id long, text string"
+    ).write.parquet(extra)
+    spark.createDataFrame(
+        [(0, "hoja roja rica")], "query_id long, qtext string"
+    ).write.parquet(queries)
+
+    env = {**os.environ, "PYTHONPATH": zip_path, "SPARK_GRAFT_CPUS": "2"}
+    env.pop("PYTHONSTARTUP", None)
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "textsearch_spark.cli", *args],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r.stdout
+
+    cli("build", "--input", corpus, "--index", index, "--block-span", "4",
+        "--backend", "txnlog")
+    cli("append", "--input", extra, "--index", index, "--doc-col", "doc_id",
+        "--backend", "txnlog")
+    hist = [json.loads(l) for l in
+            cli("history", "--index", index, "--backend", "txnlog").splitlines()]
+    assert [h["op"] for h in hist] == ["init", "append"]
+
+    cli("search", "--index", index, "--queries", queries, "--k", "3",
+        "--backend", "txnlog", "--output", out_now)
+    cli("search", "--index", index, "--queries", queries, "--k", "3",
+        "--backend", "txnlog", "--at-seq", str(hist[0]["seq"]),
+        "--output", out_old)
+    now_docs = {r.doc_id for r in spark.read.parquet(out_now).collect()}
+    old_docs = {r.doc_id for r in spark.read.parquet(out_old).collect()}
+    assert 8 in now_docs
+    assert 8 not in old_docs and old_docs  # the pre-append snapshot

@@ -29,11 +29,15 @@ def main(argv=None):
     b.add_argument("--block-span", type=int, default=4096)
     b.add_argument("--assign-doc-ids", action="store_true",
                    help="derive stable doc ids from (repo, path, commit)")
-    b.add_argument("--backend", choices=["rename", "txnlog"], default="rename",
+    b.add_argument("--backend", choices=["rename", "txnlog", "catalog"],
+                   default="rename",
                    help="rename = checkpointed/resumable POSIX layout; txnlog = "
                         "object-store-safe log layout (the init commit makes the "
                         "whole build atomic: a crashed build leaves only "
-                        "unreachable data dirs, re-run from scratch)")
+                        "unreachable data dirs, re-run from scratch); catalog = "
+                        "spark.catalog tables (--index is a table-name prefix, "
+                        "e.g. lake.db.myidx — V2 writeTo on a configured "
+                        "Iceberg/Delta catalog)")
 
     a = sub.add_parser("append", help="append new docs into an existing index "
                                       "(append_items! semantics: frozen vocab/constants)")
@@ -43,15 +47,18 @@ def main(argv=None):
     a.add_argument("--doc-col", default=None,
                    help="pre-assigned id column (must exceed the high-water mark); "
                         "default auto-assigns")
-    a.add_argument("--backend", choices=["rename", "txnlog"], default="rename",
+    a.add_argument("--backend", choices=["rename", "txnlog", "catalog"],
+                   default="rename",
                    help="rename = POSIX atomic-rename protocol (local/NFS); "
                         "txnlog = transaction-log layout whose only primitive "
-                        "is create-if-absent (object stores)")
+                        "is create-if-absent (object stores); catalog = "
+                        "spark.catalog tables (--index is a table-name prefix)")
 
     c = sub.add_parser("compact", help="fold committed appends into the base "
                                        "tables (plans/maintenance.compact_index)")
     c.add_argument("--index", required=True)
-    c.add_argument("--backend", choices=["rename", "txnlog"], default="rename")
+    c.add_argument("--backend", choices=["rename", "txnlog", "catalog"],
+                   default="rename")
     c.add_argument("--vacuum", action="store_true",
                    help="(txnlog) also delete data dirs superseded by the "
                         "compaction — only safe with no readers on older snapshots")
@@ -74,7 +81,19 @@ def main(argv=None):
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--engine", choices=["wand", "naive"], default="wand")
     s.add_argument("--output", required=True)
-    s.add_argument("--backend", choices=["rename", "txnlog"], default="rename")
+    s.add_argument("--backend", choices=["rename", "txnlog", "catalog"],
+                   default="rename")
+    s.add_argument("--at-seq", type=int, default=None,
+                   help="(txnlog) time travel: serve the index as of this "
+                        "committed log seq (see `history`)")
+    s.add_argument("--as-of", type=float, default=None,
+                   help="(catalog) time travel: serve the index as of this "
+                        "committed_at timestamp (see `history`)")
+
+    h = sub.add_parser("history", help="list the index's committed snapshots "
+                                       "(time-travel targets)")
+    h.add_argument("--index", required=True)
+    h.add_argument("--backend", choices=["txnlog", "catalog"], default="txnlog")
 
     args = ap.parse_args(argv)
 
@@ -92,16 +111,22 @@ def main(argv=None):
         if args.assign_doc_ids:
             df = with_doc_ids(df)
         cfg = TextConfig.from_json(args.textconfig) if args.textconfig else TextConfig(nlist=[1])
-        if args.backend == "txnlog":
+        if args.backend in ("txnlog", "catalog"):
             from .operators.postings import build_posting_blocks
             from .plans.build import build_bm25_index
-            from .sources.txnlog import save_index_txn
 
             idx = build_bm25_index(df, cfg, doc_col=args.doc_col,
                                    text_col=args.text_col,
                                    vocab_filter=args.vocab_filter)
             idx.blocks = build_posting_blocks(idx.postings, span=args.block_span)
-            save_index_txn(idx, args.index)
+            if args.backend == "txnlog":
+                from .sources.txnlog import save_index_txn
+
+                save_index_txn(idx, args.index)
+            else:
+                from .sources.catalog import save_index_catalog
+
+                save_index_catalog(idx, args.index)
         else:
             idx = build_bm25_index_checkpointed(
                 df, cfg, args.index,
@@ -113,14 +138,38 @@ def main(argv=None):
         df = spark.read.parquet(args.input)
         if args.backend == "txnlog":
             from .sources.txnlog import append_batch_txn as do_append
+        elif args.backend == "catalog":
+            from .sources.catalog import append_batch_catalog as do_append
         else:
             from .streaming.append import append_batch_to_index as do_append
         m = do_append(spark, args.index, df,
                       doc_col=args.doc_col, text_col=args.text_col)
         print(f"appended {m['n_docs_appended']} docs from id {m['first_doc']} "
               f"in {m['append_sec']}s")
-    elif args.cmd == "compact":
+    elif args.cmd == "history":
         if args.backend == "txnlog":
+            from .sources.txnlog import log_history_txn
+
+            rows = log_history_txn(args.index)
+        else:
+            from .sources.catalog import log_history_catalog
+
+            rows = log_history_catalog(spark, args.index)
+        import json as _json
+
+        for r in rows:
+            print(_json.dumps(r, sort_keys=True, default=str))
+    elif args.cmd == "compact":
+        if args.backend == "catalog":
+            from .sources.catalog import compact_index_catalog, vacuum_catalog
+
+            m = compact_index_catalog(spark, args.index)
+            print(f"rewrote blocks table ({m['n_block_rows']} rows) "
+                  f"in {m['compact_sec']}s")
+            if args.vacuum:
+                removed = vacuum_catalog(spark, args.index)
+                print(f"vacuumed orphan rows: {removed}")
+        elif args.backend == "txnlog":
             from .sources.txnlog import compact_index_txn, vacuum_txn
 
             m = compact_index_txn(spark, args.index)
@@ -157,11 +206,17 @@ def main(argv=None):
         from .operators.wand import search_bm25_wand
 
         if args.backend == "txnlog":
-            from .sources.txnlog import load_index_txn as load_index
+            from .sources.txnlog import load_index_txn
+
+            idx = load_index_txn(spark, args.index, at_seq=args.at_seq)
+        elif args.backend == "catalog":
+            from .sources.catalog import load_index_catalog
+
+            idx = load_index_catalog(spark, args.index, as_of=args.as_of)
         else:
             from .sources.io import load_index
 
-        idx = load_index(spark, args.index)
+            idx = load_index(spark, args.index)
         queries = spark.read.parquet(args.queries)
         fn = search_bm25_wand if args.engine == "wand" else search_bm25
         fn(idx, queries, args.k).write.mode("overwrite").parquet(args.output)
