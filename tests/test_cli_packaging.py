@@ -121,3 +121,20 @@ def test_cli_txnlog_history_and_time_travel(spark, golden_corpus_df, tmp_path):
     old_docs = {r.doc_id for r in spark.read.parquet(out_old).collect()}
     assert 8 in now_docs
     assert 8 not in old_docs and old_docs  # the pre-append snapshot
+
+
+def test_cli_time_travel_flags_require_matching_backend():
+    """--at-seq / --as-of on the wrong backend must be an argparse
+    error (exit 2), not a silently-ignored flag serving latest."""
+    import pytest
+
+    from textsearch_spark.cli import main
+
+    base = ["search", "--index", "x", "--queries", "q", "--output", "o"]
+    for extra in (["--at-seq", "1"],                      # default rename
+                  ["--at-seq", "1", "--backend", "catalog"],
+                  ["--as-of", "1.5"],                     # default rename
+                  ["--as-of", "1.5", "--backend", "txnlog"]):
+        with pytest.raises(SystemExit) as ei:
+            main(base + extra)
+        assert ei.value.code == 2

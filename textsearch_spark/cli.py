@@ -97,6 +97,14 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
 
+    # time-travel flags are backend-specific: reject rather than
+    # silently serve the latest snapshot under a flag the user set
+    if args.cmd == "search":
+        if args.at_seq is not None and args.backend != "txnlog":
+            ap.error("--at-seq requires --backend txnlog")
+        if args.as_of is not None and args.backend != "catalog":
+            ap.error("--as-of requires --backend catalog")
+
     from pyspark.sql import SparkSession
 
     from .config import TextConfig
