@@ -663,12 +663,14 @@ def main():
         # the SECOND corpus shape (r03 verdict item 8): the same pinned
         # concurrent N/4N protocol on the Zipf-vocabulary corpus, where
         # block-max pruning is ACTIVE — so the scaling gate covers both
-        # the dense/skew shape and the pruning shape. One pair by
-        # default (the corpus is smaller; raw legs in the JSON).
+        # the dense/skew shape and the pruning shape. Two pairs by
+        # default, like the dense shape: host state differs between
+        # pairs, and a single noisy pair once recorded 0.806 where a
+        # second pair measures ~0.9+ (raw legs all in the JSON).
         if os.environ.get("SPARK_GRAFT_SCALING_ZIPF", "1") != "0":
             zipf_docs = int(os.environ.get("SPARK_GRAFT_ZIPF_DOCS", "120000"))
             nq_zipf = int(os.environ.get("SPARK_GRAFT_SCALING_ZIPF_QUERIES", "8192"))
-            zruns = int(os.environ.get("SPARK_GRAFT_SCALING_ZIPF_RUNS", "1"))
+            zruns = int(os.environ.get("SPARK_GRAFT_SCALING_ZIPF_RUNS", "2"))
             zpath = _gen_scaling_corpus(zipf_docs, cpus, kind="zipf")
             zb_s, zb_b, zq_s, zq_b, zsc = summarize(
                 run_pairs(zpath, nq_zipf, zruns, "zipf"), zipf_docs, nq_zipf)
