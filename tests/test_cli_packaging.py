@@ -138,3 +138,62 @@ def test_cli_time_travel_flags_require_matching_backend():
         with pytest.raises(SystemExit) as ei:
             main(base + extra)
         assert ei.value.code == 2
+
+
+def test_cli_catalog_backend_lifecycle_cross_process(spark, golden_corpus_df,
+                                                     tmp_path):
+    """The catalog backend driven ENTIRELY through the CLI, each step a
+    separate process: --conf spark.sql.catalogImplementation=hive gives
+    the session catalog a persistent (cwd-local Derby) metastore, so
+    tables registered by `build` are visible to the later `append` /
+    `history` / `search` processes — the local stand-in for the shared
+    metastore every real cluster deployment has. Also pins the CLI
+    --as-of time-travel path end-to-end."""
+    from textsearch_spark.session import package_zip
+
+    zip_path = package_zip(str(tmp_path / "textsearch_spark.zip"))
+    corpus = str(tmp_path / "corpus")
+    extra = str(tmp_path / "extra")
+    queries = str(tmp_path / "queries")
+    out_now = str(tmp_path / "res_now")
+    out_old = str(tmp_path / "res_old")
+    golden_corpus_df.write.parquet(corpus)
+    spark.createDataFrame(
+        [(8, "la hoja roja rica")], "doc_id long, text string"
+    ).write.parquet(extra)
+    spark.createDataFrame(
+        [(0, "hoja roja rica")], "query_id long, qtext string"
+    ).write.parquet(queries)
+
+    env = {**os.environ, "PYTHONPATH": zip_path, "SPARK_GRAFT_CPUS": "2"}
+    env.pop("PYTHONSTARTUP", None)
+    hive = "--conf=spark.sql.catalogImplementation=hive"
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "textsearch_spark.cli", hive, *args],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r.stdout
+
+    cli("build", "--input", corpus, "--index", "tsidx", "--block-span", "4",
+        "--backend", "catalog")
+    o = cli("append", "--input", extra, "--index", "tsidx",
+            "--doc-col", "doc_id", "--backend", "catalog")
+    assert "appended 1 docs" in o
+    hist = [json.loads(l) for l in
+            cli("history", "--index", "tsidx",
+                "--backend", "catalog").splitlines()]
+    assert [h["op"] for h in hist] == ["init", "append"]
+
+    cli("search", "--index", "tsidx", "--queries", queries, "--k", "3",
+        "--backend", "catalog", "--output", out_now)
+    cli("search", "--index", "tsidx", "--queries", queries, "--k", "3",
+        "--backend", "catalog", "--as-of", str(hist[0]["committed_at"]),
+        "--output", out_old)
+    now_docs = {r.doc_id for r in spark.read.parquet(out_now).collect()}
+    old_docs = {r.doc_id for r in spark.read.parquet(out_old).collect()}
+    assert 8 in now_docs
+    assert 8 not in old_docs and old_docs  # the pre-append snapshot

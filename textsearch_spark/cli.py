@@ -17,6 +17,14 @@ import argparse
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="textsearch_spark")
+    ap.add_argument("--conf", action="append", default=[], metavar="KEY=VALUE",
+                    help="Spark conf applied to the session builder "
+                         "(repeatable, spark-submit semantics). E.g. "
+                         "--conf spark.sql.catalogImplementation=hive for a "
+                         "persistent local metastore, or --conf "
+                         "spark.sql.catalog.lake=org.apache.iceberg.spark."
+                         "SparkCatalog to register the catalog backend's "
+                         "production target")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build (or resume) a BM25 index")
@@ -109,7 +117,13 @@ def main(argv=None):
 
     from .config import TextConfig
 
-    spark = SparkSession.builder.getOrCreate()
+    builder = SparkSession.builder
+    for kv in args.conf:
+        k, sep, v = kv.partition("=")
+        if not sep or not k:
+            ap.error(f"--conf expects KEY=VALUE, got {kv!r}")
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
 
     if args.cmd == "build":
         from .plans.checkpoint import build_bm25_index_checkpointed
