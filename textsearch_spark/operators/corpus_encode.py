@@ -122,7 +122,9 @@ def decode_corpus(encoded: DataFrame, vocab_ids: DataFrame, *,
         long = encoded.select(doc_col, "pos", "term_id")
         base_ids = long.select(doc_col).distinct()
     rows = (
-        long.join(F.broadcast(ids), "term_id")
+        # vocabulary-sized mapping — no broadcast hint (a web corpus's
+        # vocab can exceed the limit); AQE still broadcasts small ones
+        long.join(ids, "term_id")
         .groupBy(doc_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "token"))).alias("__e"))
         .select(doc_col, F.col("__e.token").alias("tokens"))

@@ -158,7 +158,9 @@ def to_indexed(vecs: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_id")
     Feed the result to ``pyspark.ml`` via
     ``SparseVector(size, row.indices, row.values)`` per row, or keep it
     columnar — every operator in this module works on the long form."""
-    j = vecs.join(F.broadcast(token_ids.select("token", "token_id")), "token")
+    # no broadcast hint: token_ids is VOCABULARY-sized (can exceed the
+    # broadcast limit on a web corpus) — AQE still broadcasts small ones
+    j = vecs.join(token_ids.select("token", "token_id"), "token")
     return (
         j.groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct(F.col("token_id"), F.col("weight")))).alias("__e"))
@@ -180,7 +182,8 @@ def from_indexed(indexed: DataFrame, token_ids: DataFrame, *, id_col: str = "doc
         F.col("__p.indices").alias("token_id"),
         F.col("__p.values").alias("weight"),
     )
-    return x.join(F.broadcast(token_ids.select("token", "token_id")), "token_id").select(
+    # vocabulary-sized mapping: let AQE pick the join strategy
+    return x.join(token_ids.select("token", "token_id"), "token_id").select(
         id_col, "token", "weight"
     )
 
@@ -280,7 +283,8 @@ def from_ml_vectors(df: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_i
     ids, _ = _normalize_token_ids(token_ids, one_based)
     x = df.select(id_col, F.explode(_pairs(vector_col)).alias("__p")).select(
         id_col, F.col("__p.token_id").alias("token_id"), F.col("__p.weight").alias("weight"))
-    return x.join(F.broadcast(ids), "token_id").select(id_col, "token", "weight")
+    # vocabulary-sized mapping: let AQE pick the join strategy
+    return x.join(ids, "token_id").select(id_col, "token", "weight")
 
 
 def pairwise_dot(a: DataFrame, b: DataFrame, *, a_id: str = "a_id", b_id: str = "b_id") -> DataFrame:
