@@ -62,7 +62,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      under ~15% of the 4N leg; smaller corpora understate scaling),
      SPARK_GRAFT_SCALING_ZIPF=0 to skip the Zipf-corpus scaling pair,
      SPARK_GRAFT_SCALING_ZIPF_QUERIES (default 8192),
-     SPARK_GRAFT_SCALING_ZIPF_RUNS (default 1),
+     SPARK_GRAFT_SCALING_ZIPF_RUNS (default 2 concurrent pairs),
      SPARK_GRAFT_ZIPF_RPB / SPARK_GRAFT_ZIPF_QG (zipf-leg WAND knobs:
      ranges per bucket, default 16; query groups, default 16).
 """
