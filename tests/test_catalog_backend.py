@@ -15,6 +15,12 @@ Every lifecycle test runs on BOTH `_TableIO` paths:
   including the non-staging-catalog REPLACE pinning. An Iceberg
   catalog differs only in being a StagingTableCatalog (atomic RTAS,
   no pinning) — the same seam, already branch-covered here.
+- **iceberg**: the production target itself, whenever
+  iceberg-spark-runtime is on the classpath (``spark-submit
+  --packages org.apache.iceberg:iceberg-spark-runtime-...``); a
+  Hadoop-warehouse SparkCatalog runs the identical matrix with the
+  atomic StagingTableCatalog RTAS. Skipped on classpaths without the
+  jar (this container).
 
 The test matrix mirrors tests/test_txnlog_backend.py so all three
 backends are held to identical lifecycle semantics."""
@@ -34,10 +40,46 @@ from textsearch_spark.sources import catalog as cat
 CFG = TextConfig(nlist=[1])
 
 V2_CATALOG = "jdbccat"
+ICE_CATALOG = "icecat"
 
 
-@pytest.fixture(params=["v1", "v2"])
-def prefix(spark, request):
+def _iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+@pytest.fixture(params=["v1", "v2", "iceberg"])
+def prefix(spark, request, tmp_path_factory):
+    if request.param == "iceberg":
+        # the production target itself: a Hadoop-warehouse Iceberg
+        # catalog, exercised whenever iceberg-spark-runtime is on the
+        # classpath (spark-submit --packages org.apache.iceberg:...).
+        # This container ships no such jar, so the param SKIPS here —
+        # the v2 (JDBC TableCatalog) param keeps the writeTo path
+        # executing regardless; Iceberg differs from it only in
+        # implementing StagingTableCatalog (atomic RTAS, asserted
+        # below when the jar is present).
+        if not _iceberg_available(spark):
+            pytest.skip("no iceberg-spark-runtime jar on the classpath")
+        base = f"spark.sql.catalog.{ICE_CATALOG}"
+        if spark.conf.get(base, None) is None:
+            spark.conf.set(base, "org.apache.iceberg.spark.SparkCatalog")
+            spark.conf.set(base + ".type", "hadoop")
+            spark.conf.set(base + ".warehouse",
+                           str(tmp_path_factory.mktemp("ice_warehouse")))
+        ns = f"db_{uuid.uuid4().hex[:8]}"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ICE_CATALOG}.{ns}")
+        p = f"{ICE_CATALOG}.{ns}.tsidx"
+        io = cat._TableIO(spark, p)
+        assert io.v2, "Iceberg catalog must take the writeTo path"
+        assert io._staging()  # Iceberg: atomic RTAS branch
+        yield p
+        cat._TableIO(spark, p).drop_all()
+        return
     if request.param == "v2":
         head = cat.configure_jdbc_v2_catalog(spark, V2_CATALOG)
         p = f"{head}.tsidx_{uuid.uuid4().hex[:8]}"

@@ -61,7 +61,12 @@ def test_search_accumulates_no_cached_relations(spark, golden_corpus_df):
             if expect is None:
                 expect = got
             assert got == expect  # batch count never changes any result
-    assert _cached_count(spark) == base
+    # no GROWTH — the property under test. (<=, not ==: the shared
+    # test session carries cached relations from earlier tests, and
+    # Spark's ContextCleaner may unpersist any of them mid-loop when
+    # their driver references get GC'd, shrinking the count by an
+    # amount this test doesn't control.)
+    assert _cached_count(spark) <= base
     assert not searchmod._pinned
 
 

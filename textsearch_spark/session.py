@@ -19,13 +19,20 @@ def package_zip(path: str | None = None) -> str:
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     path = path or os.path.join(tempfile.gettempdir(), "textsearch_spark_pyfiles.zip")
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+    # build in a private temp file, publish with an atomic rename: the
+    # default path is SHARED across processes, and the bench's
+    # concurrent N/4N pair legs (or any two simultaneous get_spark
+    # callers) would otherwise truncate-and-rewrite the zip while the
+    # other process's JVM ships it — a torn zip fails executor imports
+    tmp = f"{path}.{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
+    os.replace(tmp, path)
     return path
 
 

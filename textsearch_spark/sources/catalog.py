@@ -508,12 +508,21 @@ def vacuum_catalog(spark: SparkSession, prefix: str) -> dict:
     # winner race is published-looking in the log but orphaned to every
     # reader — vacuum reclaims its rows too
     ids = io.published_ids()
+    # survivors are rewritten with the same physical clustering the
+    # save laid down (token-clustered, sorted) — a vacuum must not
+    # silently degrade the row-group min-max pruning every query-time
+    # IN-pushdown relies on
+    cluster = {"blocks": ("token", "block_id"),
+               "postings": ("token", "doc_id")}
     removed = {}
     for suffix in _STAMPED:
         tbl = io.read(suffix)
         orphans = tbl.join(F.broadcast(ids), "commit_id", "left_anti").count()
         removed[suffix] = int(orphans)
         if orphans:
-            io.replace(tbl.join(F.broadcast(ids), "commit_id", "left_semi"),
-                       suffix)
+            keep = tbl.join(F.broadcast(ids), "commit_id", "left_semi")
+            keys = cluster.get(suffix)
+            if keys:
+                keep = keep.repartition(keys[0]).sortWithinPartitions(*keys)
+            io.replace(keep, suffix)
     return removed
