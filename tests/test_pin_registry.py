@@ -1,4 +1,4 @@
-"""Query-relation pinning for the Catalyst scorers.
+"""Query-relation freezing for the Catalyst scorers.
 
 The scorers freeze their tokenized-query relation with ONE collect
 (operators/search.materialize_query_relation): every consumer — the
@@ -8,16 +8,16 @@ can never be re-evaluated into an inconsistent term set, results
 collected LATE (after many other searches) included. Serving sessions
 therefore accumulate no cached query relations at all.
 
-pin_query_relation (the bounded persist registry) remains as a general
-utility; its eviction-safety contract is pinned here too.
+(The earlier bounded persist registry — pin_query_relation — was
+removed in r05: no product caller remained after both scorers moved to
+driver materialization, and its eviction re-exposed the very recompute
+hazard the scorers left it to avoid.)
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from textsearch_spark.config import TextConfig
-from textsearch_spark.operators import search as searchmod
-from textsearch_spark.operators.search import pin_query_relation, search_bm25
+from textsearch_spark.operators.search import search_bm25
 from textsearch_spark.plans.build import build_bm25_index
 
 
@@ -25,26 +25,10 @@ def _cached_count(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
-def test_pin_registry_bounded(spark):
-    searchmod._pinned.clear()
-    base = _cached_count(spark)
-    dfs = [spark.range(i + 1).withColumn("x", F.lit(i)) for i in range(12)]
-    pinned = [pin_query_relation(df) for df in dfs]
-    assert len(searchmod._pinned) == searchmod._PIN_CAP
-    # at most CAP new persisted RDDs survive (evicted ones unpersisted)
-    assert _cached_count(spark) - base <= searchmod._PIN_CAP
-    # an evicted relation still computes correctly from lineage
-    assert pinned[0].count() == 1
-    for df in searchmod._pinned:
-        df.unpersist(blocking=False)
-    searchmod._pinned.clear()
-
-
 def test_search_accumulates_no_cached_relations(spark, golden_corpus_df):
     """A serving loop of many query batches must not grow executor
     cache at all — the query relation is driver-frozen, not persisted."""
     idx = build_bm25_index(golden_corpus_df, TextConfig(nlist=[1]))
-    searchmod._pinned.clear()
     expect = None
     # one warm-up search materializes the INDEX-side lazy caches
     # (postings/vocab) so the loop below measures only per-batch growth
@@ -67,7 +51,6 @@ def test_search_accumulates_no_cached_relations(spark, golden_corpus_df):
     # their driver references get GC'd, shrinking the count by an
     # amount this test doesn't control.)
     assert _cached_count(spark) <= base
-    assert not searchmod._pinned
 
 
 def test_late_collect_sees_frozen_query_relation(spark, golden_corpus_df):

@@ -188,15 +188,28 @@ def from_indexed(indexed: DataFrame, token_ids: DataFrame, *, id_col: str = "doc
     )
 
 
-def _normalize_token_ids(token_ids: DataFrame, one_based: Optional[bool]):
-    """(ids shifted to 0-based, max 0-based id or None if empty).
+def _normalize_token_ids(token_ids: DataFrame, one_based: Optional[bool],
+                         need_max: bool = True):
+    """(ids shifted to 0-based, max 0-based id or None).
 
     ``one_based=None`` infers from min(token_id) >= 1 — right for the
     two producers in this package (``with_term_ids`` emits dense
     1-based ids that always include 1; 0-based ML maps always include
     0) but WRONG for a caller-made subset map that merely lacks its
-    lowest id: pass ``one_based`` explicitly for those."""
+    lowest id: pass ``one_based`` explicitly for those.
+
+    The inference (and the max) cost one aggregate job over the
+    vocabulary-sized map; ``one_based`` explicit + ``need_max=False``
+    skips that job entirely (the max is then None regardless of the
+    table, NOT an emptiness signal — callers on that path must not
+    need one)."""
     ids = token_ids.select("token", F.col("token_id").cast("int").alias("token_id"))
+    if one_based is not None and not need_max:
+        if one_based:
+            ids = ids.withColumn("token_id", F.col("token_id") - 1)
+        return ids, None
+    # min is only needed for the inference; max only when asked — but
+    # both ride the same single aggregate job, so fold them together
     lo_hi = ids.agg(F.min("token_id"), F.max("token_id")).first()
     if lo_hi[0] is None:
         return ids, None
@@ -232,7 +245,9 @@ def to_ml_vectors(vecs: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_i
     """
     from pyspark.ml.linalg import SparseVector, VectorUDT
 
-    ids, max_id = _normalize_token_ids(token_ids, one_based)
+    # the max (one vocabulary-scan job) is only needed to derive dim
+    ids, max_id = _normalize_token_ids(token_ids, one_based,
+                                       need_max=dim is None)
     if dim is None:
         if max_id is None:
             raise ValueError(
@@ -280,7 +295,9 @@ def from_ml_vectors(df: DataFrame, token_ids: DataFrame, *, id_col: str = "doc_i
             return [(int(i), float(x)) for i, x in zip(v.indices, v.values)]
         return [(i, float(x)) for i, x in enumerate(v) if x != 0.0]  # DenseVector
 
-    ids, _ = _normalize_token_ids(token_ids, one_based)
+    # no dim to derive here — skip the vocabulary aggregate whenever
+    # the caller stated one_based explicitly
+    ids, _ = _normalize_token_ids(token_ids, one_based, need_max=False)
     x = df.select(id_col, F.explode(_pairs(vector_col)).alias("__p")).select(
         id_col, F.col("__p.token_id").alias("token_id"), F.col("__p.weight").alias("weight"))
     # vocabulary-sized mapping: let AQE pick the join strategy

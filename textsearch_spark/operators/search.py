@@ -24,38 +24,9 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from pyspark.storagelevel import StorageLevel
 
 from ..functions.udfs import exploded_tokens
 from ..plans.build import BM25Index
-
-# Bounded registry of persisted per-query relations (general utility;
-# the two scorers below no longer need it on the hot path — they pin
-# their query relation by COLLECTING it once, see materialize_query_
-# relation). Eviction is always safe precisely because these are
-# persists, not checkpoints: lineage survives, so an evicted relation
-# that some caller collects later just recomputes — but NOTE that a
-# recompute of a non-deterministic source yields different rows, which
-# is exactly why the scorers moved off this mechanism.
-_PIN_CAP = 8
-_pinned: list[DataFrame] = []
-
-
-def pin_query_relation(df: DataFrame) -> DataFrame:
-    """persist(MEMORY_AND_DISK) + eager materialize, with FIFO eviction
-    of relations pinned by earlier calls (keeps at most ``_PIN_CAP``
-    query batches cached per process)."""
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    _pinned.append(df)
-    while len(_pinned) > _PIN_CAP:
-        old = _pinned.pop(0)
-        try:
-            old.unpersist(blocking=False)
-        except Exception:
-            pass  # its SparkSession may already be stopped
-    return df
-
 
 def materialize_query_relation(df: DataFrame) -> DataFrame:
     """Evaluate the (bounded) tokenized-query relation EXACTLY ONCE —

@@ -711,8 +711,14 @@ def search_bm25_wand_chunked(
     n_chunks = max(1, -(-n // chunk_size))
     # resolve the bucket count ONCE: every chunk sees the same index,
     # so per-chunk span limit(1) jobs would be n_chunks redundant
-    # serial driver round-trips
-    kwargs.setdefault("n_buckets", _default_n_buckets(index))
+    # serial driver round-trips. A prebucketed (partition-resident)
+    # index must keep ITS bucket count — defaulting past it would flip
+    # `resident` off inside every chunk and re-shuffle all candidate
+    # blobs through a fresh exchange once per chunk, the exact
+    # per-batch bandwidth tax prebucket_blocks exists to eliminate
+    kwargs.setdefault("n_buckets",
+                      getattr(index, "prebucket_n", None)
+                      or _default_n_buckets(index))
     bucket = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks))
 
     if output_path is None:

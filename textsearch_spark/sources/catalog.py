@@ -65,6 +65,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..config import BM25Params, FoldedBM25, TextConfig
 from ..plans.build import BM25Index
@@ -348,6 +349,20 @@ def load_index_catalog(spark: SparkSession, prefix: str,
                 "and are not reproducible from this backend's commit log "
                 "(use the table format's own time travel on an "
                 "Iceberg/Delta catalog)")
+        # the target must be at or after the FIRST commit: an as_of
+        # predating the init save (a typo'd timestamp, or milliseconds
+        # where committed_at is seconds) filters publication to zero
+        # commits, and the load would otherwise serve a silently EMPTY
+        # index — zero hits for every query, no error. Iceberg rejects
+        # before-first-snapshot timestamps the same way.
+        if io.published_ids(as_of).limit(1).count() == 0:
+            first = (io.read("log").agg(F.min("committed_at")).first() or
+                     [None])[0]
+            raise ValueError(
+                f"snapshot as_of={as_of} at {prefix} predates the first "
+                f"commit ({first}): no published snapshot exists at that "
+                "time (committed_at is UNIX seconds — see "
+                "log_history_catalog for valid targets)")
     blocks = io.read_published("blocks", as_of)
     from ..operators.postings import validate_blocks_schema
 
@@ -482,17 +497,27 @@ def compact_index_catalog(spark: SparkSession, prefix: str) -> dict:
 
     t0 = time.time()
     idx = load_index_catalog(spark, prefix)
-    merged = compact_blocks(idx.blocks, idx.bm25).select(*BLOCKS_COLUMNS)
-    io = _TableIO(spark, prefix)
-    commit_id = f"cmp-{uuid.uuid4().hex[:12]}"
-    # count on the input side so the log row can precede the rewrite
-    n_rows = merged.count()
-    io.append(spark.createDataFrame(
-        [("compact", None, commit_id, high_water_mark_catalog(spark, prefix),
-          int(n_rows), time.time())], _LOG_SCHEMA), "log")
-    io.replace(merged.select("*", F.lit(commit_id).alias("commit_id"))
-               .repartition("token")
-               .sortWithinPartitions("token", "block_id"), "blocks")
+    # persist before the count: the count's log row must precede the
+    # rewrite (publish-order invariant above), and without the pin the
+    # replace would re-run the whole decode/merge/re-encode pandas-UDF
+    # plan a second time — doubling the dominant compaction cost.
+    # persist, not localCheckpoint: a lost partition recomputes from
+    # lineage (the published snapshot, stable for the single-compactor)
+    merged = (compact_blocks(idx.blocks, idx.bm25).select(*BLOCKS_COLUMNS)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        io = _TableIO(spark, prefix)
+        commit_id = f"cmp-{uuid.uuid4().hex[:12]}"
+        # count on the input side so the log row can precede the rewrite
+        n_rows = merged.count()
+        io.append(spark.createDataFrame(
+            [("compact", None, commit_id, high_water_mark_catalog(spark, prefix),
+              int(n_rows), time.time())], _LOG_SCHEMA), "log")
+        io.replace(merged.select("*", F.lit(commit_id).alias("commit_id"))
+                   .repartition("token")
+                   .sortWithinPartitions("token", "block_id"), "blocks")
+    finally:
+        merged.unpersist(blocking=False)
     return {"n_block_rows": int(n_rows),
             "compact_sec": round(time.time() - t0, 3)}
 

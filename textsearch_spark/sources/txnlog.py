@@ -426,6 +426,19 @@ def load_index_txn(spark: SparkSession, path: str,
         meta = json.load(f)
     if at_seq is not None:
         full = log if log is not None else read_log(path)
+        # the target must EXIST as a committed entry: a seq above the
+        # TOP of the log (a typo'd --at-seq, a seq from a different
+        # index) would otherwise keep the whole log and silently serve
+        # the LATEST snapshot labeled as time travel — the exact
+        # "silently serving a newer state" this contract forbids.
+        # (A seq BELOW the surviving entries is different: it once
+        # existed and was pruned — the expired branch below raises
+        # with the vacuum_log_txn explanation.)
+        if not full or int(at_seq) > max(e["seq"] for e in full):
+            raise ValueError(
+                f"snapshot seq {at_seq} at {path} does not exist: "
+                f"committed entries are "
+                f"{[e['seq'] for e in full]} (see log_history_txn)")
         log = [e for e in full if e["seq"] <= int(at_seq)]
         if not log or not _log_is_coherent(log):
             raise ValueError(

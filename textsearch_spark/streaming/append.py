@@ -188,6 +188,7 @@ def append_batch_to_index(
     batch_id=None,
     auto_compact_after: Optional[int] = 8,
     run_id: Optional[str] = None,
+    on_unknown_run: str = "raise",
 ) -> dict:
     """Append one batch of documents to a persisted block index.
 
@@ -211,6 +212,14 @@ def append_batch_to_index(
     checkpoint restarting epochs at 0 over an already-appended index)
     fails loudly instead of silently dropping the new batch behind the
     old batch's metrics.
+
+    ``on_unknown_run``: what to do when the colliding manifest carries
+    NO run id at all (written before run-id stamping, or by an ad-hoc
+    append). ``"raise"`` (default) keeps the safe-for-data behavior;
+    ``"skip"`` treats it as a replay of an already-applied batch — the
+    deliberate unwedge for resuming a pre-upgrade stream over its
+    ORIGINAL checkpoint, where the replayed epoch genuinely was
+    applied and raising would wedge the stream on every restart.
     """
     import uuid
 
@@ -223,7 +232,7 @@ def append_batch_to_index(
         return _append_locked(
             spark, index_dir, new_docs, doc_col=doc_col, text_col=text_col,
             batch_id=batch_id, auto_compact_after=auto_compact_after,
-            run_id=run_id,
+            run_id=run_id, on_unknown_run=on_unknown_run,
         )
 
 
@@ -237,6 +246,7 @@ def _append_locked(
     batch_id,
     auto_compact_after: Optional[int],
     run_id: Optional[str] = None,
+    on_unknown_run: str = "raise",
 ) -> dict:
     import shutil
 
@@ -244,8 +254,11 @@ def _append_locked(
         # prior_run None is UNKNOWN provenance, not a pass: our own run
         # always stamps its run_id into manifests, so a None can only
         # come from a pre-upgrade manifest or an ad-hoc append — either
-        # way NOT a replay of this run's epoch, and silently skipping
-        # would drop this batch's documents.
+        # way not PROVABLY a replay of this run's epoch, and silently
+        # skipping could drop this batch's documents. on_unknown_run=
+        # "skip" is the deliberate unwedge for the one legitimate case
+        # (resuming a pre-run-id-era stream over its ORIGINAL
+        # checkpoint, whose replayed epoch genuinely was applied).
         #
         # Migration: manifests written before run ids carried the
         # checkpoint nonce recorded the bare checkpoint PATH. A stream
@@ -257,16 +270,22 @@ def _append_locked(
         # manifests always carry a nonce, which the recreate changes.)
         legacy = run_id.split("#", 1)[0] if run_id else None
         if run_id is not None and prior_run not in (run_id, legacy):
+            if prior_run is None and on_unknown_run == "skip":
+                return
             what = (f"a DIFFERENT streaming run ({prior_run})"
                     if prior_run is not None else
                     "a writer of UNKNOWN provenance (no recorded run id "
                     "— a pre-upgrade manifest or an ad-hoc append)")
+            hint = ("" if prior_run is not None else
+                    "; if this IS the original pre-upgrade stream "
+                    "resuming its own checkpoint, pass "
+                    "on_unknown_run='skip' to accept the replay")
             raise ValueError(
                 f"epoch {batch_id} was already applied by {what}; this "
                 f"run ({run_id}) restarted epoch ids over the same index "
                 "— resume the original checkpoint_dir, or rebuild/append "
                 "into a fresh index (silently skipping would drop this "
-                "batch's documents)")
+                f"batch's documents){hint}")
 
     man_p = append_manifest_path(index_dir, batch_id)
     if os.path.exists(man_p):
@@ -350,7 +369,10 @@ def _append_locked(
     return metrics
 
 
-def _checkpoint_run_id(checkpoint_dir: str) -> str:
+_NONCE_NAME = "_textsearch_run_nonce"
+
+
+def _checkpoint_run_id(checkpoint_dir: str, spark=None) -> str:
     """Run identity bound to the checkpoint-dir INSTANCE, not its path.
 
     The most common way users restart epoch ids at 0 is deleting and
@@ -359,11 +381,32 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
     would be silently dropped (exactly the bug the run guard exists
     for). A nonce file written into the checkpoint dir on first use
     gives each instance a distinct identity: recreate the dir, get a
-    fresh nonce, and the stale-epoch replay fails loudly instead."""
+    fresh nonce, and the stale-epoch replay fails loudly instead.
+
+    The nonce must live IN the checkpoint dir itself — for a remote
+    checkpoint URI (s3a://, hdfs://) that means the remote store, via
+    Hadoop's FileSystem (``spark`` required there). Writing it to a
+    machine-local path spelled like the URI would both defeat the
+    delete-and-recreate guard (local nonce survives the remote reset)
+    and break multi-machine resume (each machine mints its own)."""
+    import re
     import uuid
 
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    nonce_p = os.path.join(checkpoint_dir, "_textsearch_run_nonce")
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", checkpoint_dir) \
+            and not checkpoint_dir.startswith("file:"):
+        if spark is None:
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir!r} is a remote URI — "
+                "a SparkSession is required to reach its filesystem "
+                "for the run nonce")
+        return _remote_checkpoint_run_id(spark, checkpoint_dir)
+    local = checkpoint_dir
+    if local.startswith("file:"):
+        from urllib.parse import urlparse
+
+        local = urlparse(local).path
+    os.makedirs(local, exist_ok=True)
+    nonce_p = os.path.join(local, _NONCE_NAME)
     if not os.path.exists(nonce_p):
         tmp = f"{nonce_p}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as f:
@@ -378,7 +421,36 @@ def _checkpoint_run_id(checkpoint_dir: str) -> str:
             os.unlink(tmp)
     with open(nonce_p) as f:
         nonce = f.read().strip()
-    return f"{os.path.abspath(checkpoint_dir)}#{nonce}"
+    return f"{os.path.abspath(local)}#{nonce}"
+
+
+def _remote_checkpoint_run_id(spark, checkpoint_dir: str) -> str:
+    """The nonce protocol over Hadoop's FileSystem for remote
+    checkpoint URIs. ``create(path, overwrite=False)`` is the
+    create-if-absent (atomic on HDFS; best-effort check-then-create on
+    object stores — a lost race is resolved by re-reading the winner's
+    nonce, and both racers were starting the SAME checkpoint instance,
+    so either nonce identifies it correctly)."""
+    import uuid
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, _NONCE_NAME)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        try:
+            out = fs.create(jpath, False)
+            try:
+                out.writeUTF(uuid.uuid4().hex)
+            finally:
+                out.close()
+        except Exception:
+            pass  # lost the creation race — read the winner's nonce
+    inp = fs.open(jpath)
+    try:
+        nonce = inp.readUTF()
+    finally:
+        inp.close()
+    return f"{checkpoint_dir.rstrip('/')}#{nonce}"
 
 
 def stream_append_to_index(
@@ -390,6 +462,7 @@ def stream_append_to_index(
     doc_col: Optional[str] = None,
     trigger_available_now: bool = True,
     auto_compact_after: Optional[int] = 8,
+    on_unknown_run: str = "raise",
 ):
     """readStream docs -> incremental index appends, one per
     micro-batch (foreachBatch). Returns the started StreamingQuery.
@@ -403,8 +476,9 @@ def stream_append_to_index(
     fragmentation forever). ``doc_col`` names a column of caller-
     assigned doc ids (must stay above the index's high-water mark);
     None auto-assigns — sources whose rows already carry ``doc_id``
-    must pass ``doc_col='doc_id'``."""
-    run_id = _checkpoint_run_id(checkpoint_dir)
+    must pass ``doc_col='doc_id'``. ``on_unknown_run``: see
+    append_batch_to_index (the pre-upgrade-checkpoint unwedge)."""
+    run_id = _checkpoint_run_id(checkpoint_dir, stream_df.sparkSession)
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -413,6 +487,7 @@ def stream_append_to_index(
             batch_df.sparkSession, index_dir, batch_df,
             doc_col=doc_col, text_col=text_col, batch_id=batch_id,
             auto_compact_after=auto_compact_after, run_id=run_id,
+            on_unknown_run=on_unknown_run,
         )
 
     writer = stream_df.writeStream.foreachBatch(update).option(

@@ -101,7 +101,8 @@ def read_corpuslen(state_dir: str) -> int:
 
 def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, *,
                           doc_col: str = "doc_id", text_col: str = "text",
-                          batch_id=None, run_id=None) -> DataFrame:
+                          batch_id=None, run_id=None,
+                          on_unknown_run: str = "raise") -> DataFrame:
     """Merge one block of new docs into the persisted vocabulary;
     returns the merged vocabulary DataFrame.
 
@@ -119,19 +120,29 @@ def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, 
             and batch_id <= meta["last_batch_id"]:
         prior_run = meta.get("run_id")
         # prior_run None = unknown provenance (pre-upgrade state or an
-        # ad-hoc merge) — NOT a replay of this run's epoch; raise
-        # rather than silently skip. A nonce-less bare checkpoint PATH
-        # equal to our own run id's path prefix IS a replay match
-        # (pre-nonce-upgrade state resumed over the same checkpoint;
-        # see streaming/append.py's migration note).
+        # ad-hoc merge) — not PROVABLY a replay of this run's epoch;
+        # raise rather than silently skip, unless the caller opted into
+        # on_unknown_run="skip" (resuming a pre-run-id-era stream over
+        # its ORIGINAL checkpoint, whose replayed epoch genuinely was
+        # merged — raising would wedge it on every restart). A
+        # nonce-less bare checkpoint PATH equal to our own run id's
+        # path prefix IS a replay match (pre-nonce-upgrade state
+        # resumed over the same checkpoint; see streaming/append.py's
+        # migration note).
         legacy = run_id.split("#", 1)[0] if run_id else None
-        if run_id is not None and prior_run not in (run_id, legacy):
+        if run_id is not None and prior_run not in (run_id, legacy) \
+                and not (prior_run is None and on_unknown_run == "skip"):
+            hint = ("" if prior_run is not None else
+                    "; if this IS the original pre-upgrade stream "
+                    "resuming its own checkpoint, pass "
+                    "on_unknown_run='skip' to accept the replay")
             raise ValueError(
                 f"vocab state {state_dir} was last written by streaming "
                 f"run {prior_run} (epoch {meta['last_batch_id']}); this "
                 f"run ({run_id}) restarted epoch ids — resume the "
                 "original checkpoint_dir, or start a fresh state_dir "
-                "(silently skipping would drop this batch's documents)")
+                f"(silently skipping would drop this batch's documents)"
+                f"{hint}")
         return read_vocab_state(spark, state_dir)
     inc = build_vocab(new_docs, cfg, doc_col=doc_col, text_col=text_col)
     prev = read_vocab_state(spark, state_dir)
@@ -148,7 +159,8 @@ def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, 
 
 def stream_vocab(stream_df: DataFrame, cfg: TextConfig, state_dir: str, *,
                  checkpoint_dir: str, doc_col: str = "doc_id", text_col: str = "text",
-                 trigger_available_now: bool = True):
+                 trigger_available_now: bool = True,
+                 on_unknown_run: str = "raise"):
     """readStream docs -> incremental vocabulary. Returns the started
     StreamingQuery; callers await it (availableNow processes the
     backlog then stops, mirroring block-buffered ingestion). Epoch ids
@@ -158,14 +170,14 @@ def stream_vocab(stream_df: DataFrame, cfg: TextConfig, state_dir: str, *,
     run — its epoch-0 replay fails loudly instead of being dropped."""
     from .append import _checkpoint_run_id
 
-    run_id = _checkpoint_run_id(checkpoint_dir)
+    run_id = _checkpoint_run_id(checkpoint_dir, stream_df.sparkSession)
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         merge_vocab_increment(batch_df, cfg, state_dir, doc_col=doc_col,
                               text_col=text_col, batch_id=batch_id,
-                              run_id=run_id)
+                              run_id=run_id, on_unknown_run=on_unknown_run)
 
     writer = stream_df.writeStream.foreachBatch(update).option(
         "checkpointLocation", checkpoint_dir
