@@ -143,6 +143,29 @@ def test_unknown_run_manifest_raise_and_skip(spark, golden_corpus_df, tmp_path):
                               on_unknown_run="skip")
 
 
+def test_same_nonce_different_spelling_is_a_replay(spark, golden_corpus_df,
+                                                   tmp_path):
+    """The nonce alone identifies the checkpoint instance: the SAME
+    checkpoint resumed under a differently-spelled path/URI (relative
+    vs absolute, equivalent URI forms) must be accepted as a replay,
+    not killed as a different run."""
+    from textsearch_spark.sources.io import save_index
+
+    path = str(tmp_path / "idx")
+    save_index(_blocks_index(golden_corpus_df), path)
+    new = spark.createDataFrame([(8, "la hoja roja")], "doc_id long, text string")
+    append_batch_to_index(spark, path, new, doc_col="doc_id",
+                          batch_id=0, run_id="s3a://b/ckpt#nonceX")
+    # same nonce, different spelling of the checkpoint location
+    m = append_batch_to_index(spark, path, new, doc_col="doc_id",
+                              batch_id=0, run_id="s3a://other-spelling#nonceX")
+    assert m["n_docs_appended"] == 1  # cached replay metrics, no raise
+    # different nonce = genuinely different instance: still raises
+    with pytest.raises(ValueError, match="DIFFERENT"):
+        append_batch_to_index(spark, path, new, doc_col="doc_id",
+                              batch_id=0, run_id="s3a://b/ckpt#nonceY")
+
+
 def test_unknown_run_vocab_state_raise_and_skip(spark, tmp_path):
     state = str(tmp_path / "vocab_state")
     d1 = spark.createDataFrame([(1, "casa verde")], "doc_id long, text string")
@@ -152,6 +175,14 @@ def test_unknown_run_vocab_state_raise_and_skip(spark, tmp_path):
     v = merge_vocab_increment(d1, CFG, state, batch_id=0, run_id="ckptA#n1",
                               on_unknown_run="skip")
     assert v.count() > 0  # replay accepted: state served, not re-merged
+    # stamp a named run, then resume it under a different spelling of
+    # the same nonce: a replay, not a conflict
+    merge_vocab_increment(d1, CFG, state, batch_id=1, run_id="ckptA#n1")
+    v2 = merge_vocab_increment(d1, CFG, state, batch_id=1,
+                               run_id="elsewhere#n1")
+    assert v2.count() > 0
+    with pytest.raises(ValueError, match="run"):
+        merge_vocab_increment(d1, CFG, state, batch_id=1, run_id="ckptA#n9")
 
 
 # ---------------------------------------------------------------- 4

@@ -270,6 +270,14 @@ def _append_locked(
         # manifests always carry a nonce, which the recreate changes.)
         legacy = run_id.split("#", 1)[0] if run_id else None
         if run_id is not None and prior_run not in (run_id, legacy):
+            # the NONCE alone identifies the checkpoint instance (a
+            # uuid4 minted once per instance): a matching nonce under a
+            # differently-spelled checkpoint URI/path is the SAME run
+            # resuming (e.g. a relative vs absolute path, an equivalent
+            # URI spelling across machines) — a genuine replay
+            if prior_run and "#" in prior_run and "#" in run_id \
+                    and prior_run.split("#", 1)[1] == run_id.split("#", 1)[1]:
+                return
             if prior_run is None and on_unknown_run == "skip":
                 return
             what = (f"a DIFFERENT streaming run ({prior_run})"

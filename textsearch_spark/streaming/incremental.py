@@ -130,7 +130,13 @@ def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, 
         # resumed over the same checkpoint; see streaming/append.py's
         # migration note).
         legacy = run_id.split("#", 1)[0] if run_id else None
+        # a matching NONCE suffix is the same checkpoint instance under
+        # a different spelling — a genuine replay (see append.py)
+        same_nonce = (prior_run is not None and run_id is not None
+                      and "#" in prior_run and "#" in run_id
+                      and prior_run.split("#", 1)[1] == run_id.split("#", 1)[1])
         if run_id is not None and prior_run not in (run_id, legacy) \
+                and not same_nonce \
                 and not (prior_run is None and on_unknown_run == "skip"):
             hint = ("" if prior_run is not None else
                     "; if this IS the original pre-upgrade stream "
