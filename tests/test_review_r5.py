@@ -108,6 +108,27 @@ def test_run_nonce_remote_fs_protocol(spark, tmp_path):
     assert rid2 != rid1  # recreate = new instance = new run identity
 
 
+def test_run_nonce_local_and_remote_readers_agree(spark, tmp_path):
+    """One wire format: a nonce written by the local path must read
+    identically through the Hadoop-FS path (same store mounted locally
+    and reached by URI elsewhere) and vice versa."""
+    ck = tmp_path / "both_ways"
+    local_id = _checkpoint_run_id(str(ck))
+    remote_id = _remote_checkpoint_run_id(spark, f"file://{ck}")
+    assert local_id.split("#", 1)[1] == remote_id.split("#", 1)[1]
+
+
+def test_run_nonce_torn_empty_file_raises(spark, tmp_path):
+    """A zero-byte nonce (writer crashed mid-publish on a store without
+    atomic rename) must fail with the remediation named, not an opaque
+    EOF from deep inside the JVM."""
+    ck = tmp_path / "torn"
+    ck.mkdir()
+    (ck / "_textsearch_run_nonce").write_text("")
+    with pytest.raises(ValueError, match="empty"):
+        _remote_checkpoint_run_id(spark, f"file://{ck}")
+
+
 # ---------------------------------------------------------------- 3
 
 def test_unknown_run_manifest_raise_and_skip(spark, golden_corpus_df, tmp_path):
@@ -183,6 +204,37 @@ def test_unknown_run_vocab_state_raise_and_skip(spark, tmp_path):
     assert v2.count() > 0
     with pytest.raises(ValueError, match="run"):
         merge_vocab_increment(d1, CFG, state, batch_id=1, run_id="ckptA#n9")
+
+
+def test_is_replay_of_forms():
+    """The shared replay decision, all accepted forms + the rejections
+    (one function, used by both the index-append and vocab guards)."""
+    from textsearch_spark.streaming.append import is_replay_of as rep
+
+    assert rep("anything", None)                      # ad-hoc caller
+    assert rep("u#n1", "u#n1")                        # exact
+    assert rep("/ck", "/ck#n1")                       # pre-nonce path
+    assert rep("/abs/ck#n1", "ck#n1")                 # same nonce
+    # pre-remote-fix mangled form: the old code abspath'd the URI into
+    # a machine-local dir with a locally-minted nonce
+    assert rep("/home/u/s3a:/b/ckpt#local9", "s3a://b/ckpt#n2")
+    assert rep("/home/u/s3a:/b/ckpt", "s3a://b/ckpt#n2")  # pre-nonce era
+    assert not rep("/home/u/s3a:/b/OTHER#local9", "s3a://b/ckpt#n2")
+    assert not rep("u#n1", "u#n2")                    # different instance
+    assert not rep(None, "u#n1")                      # unknown: raise
+    assert rep(None, "u#n1", "skip")                  # ... unless opted in
+
+
+def test_on_unknown_run_validated_up_front(spark, tmp_path):
+    """A misspelled mode must fail at the call, not resurface later as
+    the very conflict error the caller believed they opted out of."""
+    d = spark.createDataFrame([(1, "casa")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="on_unknown_run"):
+        merge_vocab_increment(d, CFG, str(tmp_path / "s"), batch_id=0,
+                              run_id="r#n", on_unknown_run="Skip")
+    with pytest.raises(ValueError, match="on_unknown_run"):
+        append_batch_to_index(spark, str(tmp_path / "i"), d,
+                              batch_id=0, on_unknown_run="ignore")
 
 
 # ---------------------------------------------------------------- 4

@@ -354,10 +354,12 @@ def load_index_catalog(spark: SparkSession, prefix: str,
         # where committed_at is seconds) filters publication to zero
         # commits, and the load would otherwise serve a silently EMPTY
         # index — zero hits for every query, no error. Iceberg rejects
-        # before-first-snapshot timestamps the same way.
-        if io.published_ids(as_of).limit(1).count() == 0:
-            first = (io.read("log").agg(F.min("committed_at")).first() or
-                     [None])[0]
+        # before-first-snapshot timestamps the same way. One min() over
+        # the log table answers this — the init row is always published,
+        # so "any log row at or before as_of" == "any published commit"
+        # (no need to evaluate the full published_ids window plan here)
+        first = io.read("log").agg(F.min("committed_at")).first()[0]
+        if first is None or float(as_of) < float(first):
             raise ValueError(
                 f"snapshot as_of={as_of} at {prefix} predates the first "
                 f"commit ({first}): no published snapshot exists at that "

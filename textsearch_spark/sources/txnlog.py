@@ -434,17 +434,20 @@ def load_index_txn(spark: SparkSession, path: str,
         # (A seq BELOW the surviving entries is different: it once
         # existed and was pruned — the expired branch below raises
         # with the vacuum_log_txn explanation.)
+        # O(1)-sized messages: an append-heavy unvacuumed log holds
+        # thousands of entries — print the surviving RANGE, not the list
+        lo_hi = (f"{min(e['seq'] for e in full)}..{max(e['seq'] for e in full)}"
+                 if full else "none")
         if not full or int(at_seq) > max(e["seq"] for e in full):
             raise ValueError(
                 f"snapshot seq {at_seq} at {path} does not exist: "
-                f"committed entries are "
-                f"{[e['seq'] for e in full]} (see log_history_txn)")
+                f"committed entries are {lo_hi} (see log_history_txn)")
         log = [e for e in full if e["seq"] <= int(at_seq)]
         if not log or not _log_is_coherent(log):
             raise ValueError(
                 f"snapshot seq {at_seq} at {path} has expired: the log "
                 f"prefix reaching it was pruned by vacuum_log_txn "
-                f"(surviving entries: {[e['seq'] for e in full]})")
+                f"(surviving entries: {lo_hi})")
     snap = snapshot(path, log)
 
     def table(name: str) -> DataFrame:

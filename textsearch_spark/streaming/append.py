@@ -178,6 +178,71 @@ def _int_batch(batch_id) -> Optional[int]:
         return None
 
 
+def _validate_on_unknown_run(value: str) -> str:
+    """Fail fast on a misspelled mode ('Skip', 'ignore', True, ...):
+    silently treating it as 'raise' would surface as the very conflict
+    error the caller believed they opted out of."""
+    if value not in ("raise", "skip"):
+        raise ValueError(
+            f"on_unknown_run must be 'raise' or 'skip', got {value!r}")
+    return value
+
+
+def is_replay_of(prior_run, run_id: Optional[str],
+                 on_unknown_run: str = "raise") -> bool:
+    """Is a colliding exactly-once dedupe token (an append manifest, a
+    committed vocab-state epoch) written by ``prior_run`` a REPLAY of
+    ``run_id``'s epoch (True: skip, exactly-once) or a conflict (False:
+    the caller raises)?
+
+    Shared by the index-append and vocab-state guards so the replay
+    semantics cannot diverge. prior_run None is UNKNOWN provenance, not
+    a pass: our own run always stamps its run_id, so a None can only
+    come from a pre-run-id-era manifest or an ad-hoc append — not
+    PROVABLY a replay, and silently skipping could drop the batch's
+    documents. ``on_unknown_run="skip"`` is the deliberate unwedge for
+    the one legitimate case (resuming a pre-upgrade stream over its
+    ORIGINAL checkpoint, whose replayed epoch genuinely was applied).
+
+    Accepted replay forms, in order:
+    - exact run-id match (or run_id None: an ad-hoc caller with no run
+      identity never conflicts);
+    - the nonce-less bare PATH of our own run id (manifests written
+      before nonces recorded just the checkpoint path; resuming that
+      same checkpoint after the upgrade mints 'path#nonce');
+    - same NONCE under any spelling: the nonce (a uuid4 minted once
+      per checkpoint instance) IS the instance identity — a relative
+      vs absolute path or an equivalent URI spelling across machines
+      changes the prefix, never the nonce;
+    - the pre-remote-fix mangled form: _checkpoint_run_id used to
+      abspath a remote URI into a machine-local path
+      ('/cwd/s3a:/bucket/ckpt' — '//' collapsed) with a locally-minted
+      nonce, so for a URI-form run id a prior path part ending with
+      that mangled suffix identifies the same checkpoint (the local
+      nonce can never match; the suffix is the only surviving
+      identity, and accepting it is exactly the pre-fix behavior for
+      what was always the same stream).
+    """
+    if run_id is None or prior_run == run_id:
+        return True
+    head, _, nonce = run_id.partition("#")
+    if prior_run == head:
+        return True  # pre-nonce-era manifest over the same checkpoint
+    if prior_run is not None:
+        prior_head, prior_sep, prior_nonce = prior_run.partition("#")
+        if prior_sep and nonce and prior_nonce == nonce:
+            return True  # same instance, different spelling
+        if "://" in head:
+            # applies whether or not the pre-fix manifest carries a
+            # nonce: pre-nonce-era remote manifests stored just the
+            # mangled local path, nonce-era ones appended a LOCAL nonce
+            # that can never match — the path suffix is the identity
+            mangled = "/" + head.replace("://", ":/").rstrip("/")
+            if prior_head.rstrip("/").endswith(mangled):
+                return True  # pre-remote-fix manifest, same checkpoint
+    return prior_run is None and on_unknown_run == "skip"
+
+
 def append_batch_to_index(
     spark: SparkSession,
     index_dir: str,
@@ -223,6 +288,7 @@ def append_batch_to_index(
     """
     import uuid
 
+    _validate_on_unknown_run(on_unknown_run)
     if batch_id is None:
         # ad-hoc (non-streaming) append: a fresh unique id — staging
         # and commit semantics are identical, there is just no caller
@@ -251,49 +317,22 @@ def _append_locked(
     import shutil
 
     def _run_conflict(prior_run) -> None:
-        # prior_run None is UNKNOWN provenance, not a pass: our own run
-        # always stamps its run_id into manifests, so a None can only
-        # come from a pre-upgrade manifest or an ad-hoc append — either
-        # way not PROVABLY a replay of this run's epoch, and silently
-        # skipping could drop this batch's documents. on_unknown_run=
-        # "skip" is the deliberate unwedge for the one legitimate case
-        # (resuming a pre-run-id-era stream over its ORIGINAL
-        # checkpoint, whose replayed epoch genuinely was applied).
-        #
-        # Migration: manifests written before run ids carried the
-        # checkpoint nonce recorded the bare checkpoint PATH. A stream
-        # resumed over that same checkpoint dir after the upgrade mints
-        # 'path#nonce', and its first replayed epoch would mismatch the
-        # legacy 'path' and kill the stream — so the nonce-less path
-        # form of OUR OWN run id is accepted as a replay match. (The
-        # delete-and-recreate guard is unaffected: post-upgrade
-        # manifests always carry a nonce, which the recreate changes.)
-        legacy = run_id.split("#", 1)[0] if run_id else None
-        if run_id is not None and prior_run not in (run_id, legacy):
-            # the NONCE alone identifies the checkpoint instance (a
-            # uuid4 minted once per instance): a matching nonce under a
-            # differently-spelled checkpoint URI/path is the SAME run
-            # resuming (e.g. a relative vs absolute path, an equivalent
-            # URI spelling across machines) — a genuine replay
-            if prior_run and "#" in prior_run and "#" in run_id \
-                    and prior_run.split("#", 1)[1] == run_id.split("#", 1)[1]:
-                return
-            if prior_run is None and on_unknown_run == "skip":
-                return
-            what = (f"a DIFFERENT streaming run ({prior_run})"
-                    if prior_run is not None else
-                    "a writer of UNKNOWN provenance (no recorded run id "
-                    "— a pre-upgrade manifest or an ad-hoc append)")
-            hint = ("" if prior_run is not None else
-                    "; if this IS the original pre-upgrade stream "
-                    "resuming its own checkpoint, pass "
-                    "on_unknown_run='skip' to accept the replay")
-            raise ValueError(
-                f"epoch {batch_id} was already applied by {what}; this "
-                f"run ({run_id}) restarted epoch ids over the same index "
-                "— resume the original checkpoint_dir, or rebuild/append "
-                "into a fresh index (silently skipping would drop this "
-                f"batch's documents){hint}")
+        if is_replay_of(prior_run, run_id, on_unknown_run):
+            return
+        what = (f"a DIFFERENT streaming run ({prior_run})"
+                if prior_run is not None else
+                "a writer of UNKNOWN provenance (no recorded run id "
+                "— a pre-upgrade manifest or an ad-hoc append)")
+        hint = ("" if prior_run is not None else
+                "; if this IS the original pre-upgrade stream "
+                "resuming its own checkpoint, pass "
+                "on_unknown_run='skip' to accept the replay")
+        raise ValueError(
+            f"epoch {batch_id} was already applied by {what}; this "
+            f"run ({run_id}) restarted epoch ids over the same index "
+            "— resume the original checkpoint_dir, or rebuild/append "
+            "into a fresh index (silently skipping would drop this "
+            f"batch's documents){hint}")
 
     man_p = append_manifest_path(index_dir, batch_id)
     if os.path.exists(man_p):
@@ -434,30 +473,50 @@ def _checkpoint_run_id(checkpoint_dir: str, spark=None) -> str:
 
 def _remote_checkpoint_run_id(spark, checkpoint_dir: str) -> str:
     """The nonce protocol over Hadoop's FileSystem for remote
-    checkpoint URIs. ``create(path, overwrite=False)`` is the
-    create-if-absent (atomic on HDFS; best-effort check-then-create on
-    object stores — a lost race is resolved by re-reading the winner's
-    nonce, and both racers were starting the SAME checkpoint instance,
-    so either nonce identifies it correctly)."""
+    checkpoint URIs. Same wire format as the local path (one plain
+    UTF-8 hex line), so a checkpoint reachable BOTH ways — an NFS/fuse
+    mount locally, an hdfs:// URI elsewhere — reads one identity.
+
+    Publish is write-to-temp + rename, never an in-place write: a
+    driver killed mid-write must not leave a torn/empty nonce that
+    wedges every future start of this checkpoint. rename refuses an
+    existing destination (atomic create-if-absent on HDFS; best-effort
+    on object stores — a lost race reads the winner's nonce, and both
+    racers were starting the SAME checkpoint instance, so either nonce
+    identifies it correctly)."""
     import uuid
 
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, _NONCE_NAME)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            checkpoint_dir, f"{_NONCE_NAME}.{uuid.uuid4().hex}.tmp")
+        out = fs.create(tmp, False)  # genuine store errors raise HERE
         try:
-            out = fs.create(jpath, False)
-            try:
-                out.writeUTF(uuid.uuid4().hex)
-            finally:
-                out.close()
+            out.write(bytearray(f"{uuid.uuid4().hex}\n".encode("ascii")))
+        finally:
+            out.close()
+        try:
+            if not fs.rename(tmp, jpath):
+                fs.delete(tmp, False)  # lost the race: winner's stands
         except Exception:
-            pass  # lost the creation race — read the winner's nonce
-    inp = fs.open(jpath)
+            # rename-onto-existing raises on some FileSystems instead
+            # of returning False — same outcome, the winner's stands
+            fs.delete(tmp, False)
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8"))
     try:
-        nonce = inp.readUTF()
+        nonce = reader.readLine()
     finally:
-        inp.close()
+        reader.close()
+    nonce = (nonce or "").strip()
+    if not nonce:
+        raise ValueError(
+            f"checkpoint run nonce at {checkpoint_dir}/{_NONCE_NAME} is "
+            "empty — a writer crashed mid-publish on a filesystem "
+            "without atomic rename; delete that file and restart to "
+            "mint a fresh run identity")
     return f"{checkpoint_dir.rstrip('/')}#{nonce}"
 
 
@@ -486,6 +545,7 @@ def stream_append_to_index(
     None auto-assigns — sources whose rows already carry ``doc_id``
     must pass ``doc_col='doc_id'``. ``on_unknown_run``: see
     append_batch_to_index (the pre-upgrade-checkpoint unwedge)."""
+    _validate_on_unknown_run(on_unknown_run)
     run_id = _checkpoint_run_id(checkpoint_dir, stream_df.sparkSession)
 
     def update(batch_df: DataFrame, batch_id: int) -> None:

@@ -114,30 +114,21 @@ def merge_vocab_increment(new_docs: DataFrame, cfg: TextConfig, state_dir: str, 
     fresh checkpoint restarts epoch ids at 0, and treating those as
     replays of the OLD run would silently discard every new batch — a
     reused ``state_dir`` under a different run fails loudly instead."""
+    from .append import _validate_on_unknown_run
+
+    _validate_on_unknown_run(on_unknown_run)
     spark = new_docs.sparkSession
     meta = _load_meta(state_dir)
     if batch_id is not None and meta["last_batch_id"] is not None \
             and batch_id <= meta["last_batch_id"]:
         prior_run = meta.get("run_id")
-        # prior_run None = unknown provenance (pre-upgrade state or an
-        # ad-hoc merge) — not PROVABLY a replay of this run's epoch;
-        # raise rather than silently skip, unless the caller opted into
-        # on_unknown_run="skip" (resuming a pre-run-id-era stream over
-        # its ORIGINAL checkpoint, whose replayed epoch genuinely was
-        # merged — raising would wedge it on every restart). A
-        # nonce-less bare checkpoint PATH equal to our own run id's
-        # path prefix IS a replay match (pre-nonce-upgrade state
-        # resumed over the same checkpoint; see streaming/append.py's
-        # migration note).
-        legacy = run_id.split("#", 1)[0] if run_id else None
-        # a matching NONCE suffix is the same checkpoint instance under
-        # a different spelling — a genuine replay (see append.py)
-        same_nonce = (prior_run is not None and run_id is not None
-                      and "#" in prior_run and "#" in run_id
-                      and prior_run.split("#", 1)[1] == run_id.split("#", 1)[1])
-        if run_id is not None and prior_run not in (run_id, legacy) \
-                and not same_nonce \
-                and not (prior_run is None and on_unknown_run == "skip"):
+        # one shared replay-vs-conflict decision with the index-append
+        # guard (exact / pre-nonce path / same-nonce / pre-remote-fix
+        # mangled forms; prior_run None raises unless the caller opted
+        # into on_unknown_run="skip") — see append.is_replay_of
+        from .append import is_replay_of
+
+        if not is_replay_of(prior_run, run_id, on_unknown_run):
             hint = ("" if prior_run is not None else
                     "; if this IS the original pre-upgrade stream "
                     "resuming its own checkpoint, pass "
@@ -174,8 +165,9 @@ def stream_vocab(stream_df: DataFrame, cfg: TextConfig, state_dir: str, *,
     is bound to the checkpoint-dir INSTANCE (a nonce written on first
     use), so deleting and recreating the same checkpoint path is a NEW
     run — its epoch-0 replay fails loudly instead of being dropped."""
-    from .append import _checkpoint_run_id
+    from .append import _checkpoint_run_id, _validate_on_unknown_run
 
+    _validate_on_unknown_run(on_unknown_run)
     run_id = _checkpoint_run_id(checkpoint_dir, stream_df.sparkSession)
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
