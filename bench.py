@@ -147,10 +147,7 @@ def _bench_sf(sf_dir: str, cpus: int, timings: dict, meta: dict):
     # in-kernel threads lose to the GIL (measured 6.6x slower there).
     from textsearch_spark.operators.wand import prebucket_blocks
 
-    old_blocks = idx.blocks
     prebucket_blocks(idx, n_buckets=-(-n_docs // 256))
-    idx.blocks.count()
-    old_blocks.unpersist(blocking=False)
     t0 = time.time()
     search_bm25_wand(idx, qdf, 10, query_groups=1).count()
     timings["query_wand_resident_512"] = time.time() - t0
@@ -227,10 +224,7 @@ def _bench_zipf(cpus: int, timings: dict, meta: dict, n_docs: int):
     # outright locally (nb=7 x 16: 116 vs 88 qps measured).
     from textsearch_spark.operators.wand import prebucket_blocks
 
-    old_blocks = idx.blocks
     prebucket_blocks(idx, replicas=8)
-    idx.blocks.count()
-    old_blocks.unpersist(blocking=False)
     search_bm25_wand(idx, qdf, 10).count()
     t0 = time.time()
     search_bm25_wand(idx, qdf, 10).count()
@@ -285,9 +279,13 @@ def _run_headline(kind: str, cpus: int, sf_dir: str, zipf_docs: int,
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-leg",
              kind, str(cpus), sf_dir, str(zipf_docs)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env)
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         if p.returncode != 0:
-            raise RuntimeError(f"headline leg {kind} rep {i} failed rc={p.returncode}")
+            # a rep is many minutes of work — die with the reason, not
+            # just the code (Spark's traceback went to the rep's stderr)
+            raise RuntimeError(
+                f"headline leg {kind} rep {i} failed rc={p.returncode}; "
+                f"stderr tail:\n{(p.stderr or '')[-3000:]}")
         reps.append(json.loads(p.stdout.strip().splitlines()[-1]))
     return reps
 
@@ -373,16 +371,25 @@ def _scaling_pair(n_small: int, corpus_path: str, n_queries: int, kind: str = "c
     barrier = tempfile.mkdtemp(prefix="ts_bench_barrier_")
     env = {**os.environ, "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "32g")}
     procs = []
+    err_paths = []
     for role, cpus, offset in (("small", n_small, 0), ("big", 4 * n_small, n_small)):
+        # stderr to a FILE, not a pipe: the two legs run concurrently
+        # and coordinate through barrier files — a leg blocked writing
+        # a full stderr pipe (these are only drained sequentially)
+        # would never reach its barrier and deadlock the pair
+        err_paths.append(os.path.join(barrier, f"stderr_{role}.log"))
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--scaling-leg",
              str(cpus), corpus_path, str(n_queries), role, barrier, str(offset), kind],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+            stdout=subprocess.PIPE, stderr=open(err_paths[-1], "w"), text=True, env=env,
         ))
     outs = [p.communicate()[0] for p in procs]
-    for p in procs:
+    for p, ep in zip(procs, err_paths):
         if p.returncode != 0:
-            raise RuntimeError(f"scaling leg failed rc={p.returncode}")
+            with open(ep) as f:
+                tail = f.read()[-3000:]
+            raise RuntimeError(
+                f"scaling leg failed rc={p.returncode}; stderr tail:\n{tail}")
     small = json.loads(outs[0].strip().splitlines()[-1])
     big = json.loads(outs[1].strip().splitlines()[-1])
     return small["build_sec"], small["query_sec"], big["build_secs"], big["query_secs"]
@@ -508,10 +515,7 @@ def _scaling_leg_main(cpus: int, corpus_path: str, n_queries: int,
         # shipping. Zipf keeps the shuffled path: its gate measures the
         # pruning-active kernel under the (bucket, qgrp) exchange.
         if kind != "zipf":
-            old = idx.blocks
             prebucket_blocks(idx, n_buckets=n_blocks)
-            idx.blocks.count()
-            old.unpersist(blocking=False)
 
     def reset_caches():
         spark.catalog.clearCache()

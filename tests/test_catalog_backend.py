@@ -312,7 +312,7 @@ def test_duplicate_publish_resolves_to_one_winner(spark, golden_corpus_df, prefi
     blocks = build_posting_blocks(postings, span=4)
     commit_id, n_rows = cat._write_batch_data(io, postings, blocks)
     io.append(spark.createDataFrame(
-        [("append", "race-1", commit_id, 8, n_rows, _time.time())],
+        [("append", "race-1", commit_id, 8, n_rows, _time.time(), None)],
         cat._LOG_SCHEMA), "log")
     postings.unpersist()
     docs.unpersist()
@@ -353,7 +353,8 @@ def test_phantom_compact_does_not_bar_time_travel(spark, golden_corpus_df, prefi
     # the crash: compact log row lands, the REPLACE never runs
     io = cat._TableIO(spark, prefix)
     io.append(spark.createDataFrame(
-        [("compact", None, f"cmp-{_uuid.uuid4().hex[:12]}", 8, 0, _time.time())],
+        [("compact", None, f"cmp-{_uuid.uuid4().hex[:12]}", 8, 0, _time.time(),
+          None)],
         cat._LOG_SCHEMA), "log")
 
     # time travel to the pre-"compaction" snapshot still serves

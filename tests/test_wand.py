@@ -300,7 +300,8 @@ def test_wand_prebucket_resident(spark, zipf_index):
     # clone the handle: the fixture is module-shared and prebucket
     # mutates index.blocks
     idx = dataclasses.replace(idx0)
-    prebucket_blocks(idx, n_buckets=4)
+    # the fixture handle idx0 keeps serving from the old cached blocks
+    prebucket_blocks(idx, n_buckets=4, unpersist_displaced=False)
     assert idx.prebucket_n == 4 and "bucket" in idx.blocks.columns
     res = search_bm25_wand(idx, qdf, k=10, query_groups=2)  # adopts n_buckets=4
     _assert_rank_identical(base, res.collect())
@@ -348,7 +349,7 @@ def test_wand_replicated_resident(spark, zipf_index):
     base = search_bm25_wand(idx0, qdf, k=10, n_buckets=4, query_groups=2).collect()
 
     idx = dataclasses.replace(idx0)
-    prebucket_blocks(idx, n_buckets=4, replicas=3)
+    prebucket_blocks(idx, n_buckets=4, replicas=3, unpersist_displaced=False)
     assert idx.prebucket_n == 4 and idx.prebucket_replicas == 3
     assert "replica" in idx.blocks.columns
     # adopts n_buckets=4 and query_groups=replicas=3

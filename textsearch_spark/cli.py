@@ -68,8 +68,14 @@ def main(argv=None):
     c.add_argument("--backend", choices=["rename", "txnlog", "catalog"],
                    default="rename")
     c.add_argument("--vacuum", action="store_true",
-                   help="(txnlog) also delete data dirs superseded by the "
-                        "compaction — only safe with no readers on older snapshots")
+                   help="also reclaim dead storage after the compaction. "
+                        "txnlog: delete data dirs superseded by checkpoints "
+                        "— only safe with no readers on older snapshots "
+                        "(see --vacuum-min-age). catalog: rewrite "
+                        "crashed-append orphan rows (never published, "
+                        "invisible to every reader) out of the stamped "
+                        "tables — always safe on a V2/staging catalog, "
+                        "single-writer on V1")
     c.add_argument("--vacuum-min-age", type=float, default=86400.0,
                    help="(txnlog) retention window in seconds: vacuum only "
                         "deletes unreferenced dirs untouched this long, so "

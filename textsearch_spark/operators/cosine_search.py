@@ -11,10 +11,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..functions.weighting import EMPTY_SENTINEL, VectorModel, vectorize
-from .search import materialize_query_relation, prune_postings_by_terms
+from .search import (materialize_query_relation, prune_postings_by_terms,
+                     salted_topk)
 
 
 def search_cosine(
@@ -45,19 +45,7 @@ def search_cosine(
         .groupBy(id_col, "doc_id")
         .agg(F.sum(F.col("weight") * F.col("__qw")).alias("cos"))
     )
-    # salted two-phase top-k — same skew bound as search_bm25: one
-    # stop-wordy query can't pin all its scored rows on one task
-    order = (F.desc("cos"), F.asc("doc_id"))
-    w_local = Window.partitionBy(id_col, "_pid").orderBy(*order)
-    pre = (
-        scored.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_lrank", F.row_number().over(w_local))
-        .filter(F.col("_lrank") <= k)
-        .drop("_pid", "_lrank")
-    )
-    w = Window.partitionBy(id_col).orderBy(*order)
-    return (
-        pre.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "doc_id", "cos")
-    )
+    # salted two-phase top-k — same skew bound and tie order as
+    # search_bm25 (one stop-wordy query can't pin all its scored rows
+    # on one task); shared helper so the two scorers cannot diverge
+    return salted_topk(scored, id_col, "cos", k)

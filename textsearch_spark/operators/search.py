@@ -152,18 +152,28 @@ def search_bm25(
     # per postings partition (the distributed select_posting_lists)
     joined = p.join(F.broadcast(q), "token")
     scored = joined.groupBy(id_col, "doc_id").agg(F.sum("impact").alias("score"))
-    # Salted two-phase top-k: the final per-query window alone would
-    # shuffle EVERY scored (query, doc) row of one query into a single
-    # task — a query containing a stop-wordish term scores a large
-    # fraction of the corpus, so at 100× that one straggler task holds
-    # millions of rows. Phase 1 takes the top-k per (query, input
-    # partition) — any row in the global top-k beats fewer than k rows
-    # globally, hence fewer than k within its own partition, so the
-    # local top-k is a superset of the global answer and ranks are
-    # identical by construction. Phase 2's window then sees at most
-    # k × shuffle_partitions rows per query. Tie order (score desc,
-    # doc_id asc) is applied in BOTH phases so the pin holds.
-    order = (F.desc("score"), F.asc("doc_id"))
+    return salted_topk(scored, id_col, "score", k)
+
+
+def salted_topk(scored: DataFrame, id_col: str, score_col: str,
+                k: int) -> DataFrame:
+    """Salted two-phase top-k over ``(id_col, doc_id, score_col)`` rows
+    — shared by the BM25 and cosine scorers so the tie-order argument
+    below can never diverge between them.
+
+    The final per-query window alone would shuffle EVERY scored
+    (query, doc) row of one query into a single task — a query
+    containing a stop-wordish term scores a large fraction of the
+    corpus, so at 100× that one straggler task holds millions of rows.
+    Phase 1 takes the top-k per (query, input partition) — any row in
+    the global top-k beats fewer than k rows globally, hence fewer
+    than k within its own partition, so the local top-k is a superset
+    of the global answer and ranks are identical by construction.
+    Phase 2's window then sees at most k × shuffle_partitions rows per
+    query. Tie order (score desc, doc_id asc) is applied in BOTH
+    phases — the superset argument needs the IDENTICAL total order, so
+    a tie-break change must land in both or ranks break."""
+    order = (F.desc(score_col), F.asc("doc_id"))
     w_local = Window.partitionBy(id_col, "_pid").orderBy(*order)
     pre = (
         scored.withColumn("_pid", F.spark_partition_id())
@@ -175,7 +185,7 @@ def search_bm25(
     return (
         pre.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "rank", "doc_id", "score")
+        .select(id_col, "rank", "doc_id", score_col)
     )
 
 

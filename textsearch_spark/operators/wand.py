@@ -333,11 +333,17 @@ MAX_DEFAULT_QUERY_GROUPS = 16
 
 
 def prebucket_blocks(index: BM25Index, n_buckets: Optional[int] = None,
-                     replicas: int = 1, storage_level=None) -> BM25Index:
+                     replicas: int = 1, storage_level=None,
+                     unpersist_displaced: bool = True) -> BM25Index:
     """Make the blocks table partition-resident by WAND bucket.
 
     Adds the ``bucket = pmod(block_id, n_buckets)`` column, repartitions
-    the blocks table BY that column, and persists it. Subsequent
+    the blocks table BY that column, persists AND materializes it, and
+    unpersists the blocks relation it displaces (if that one was
+    cached) — the call owns the whole residency transition, so callers
+    never juggle the old relation's cache entry. Pass
+    ``unpersist_displaced=False`` when another index handle still
+    serves from the old cached relation (e.g. a shared fixture). Subsequent
     :func:`search_bm25_wand` calls adopt the resident bucketing (when
     ``n_buckets`` is left unset) and group by the pre-existing column, so
     the scoring stage's ``groupBy(bucket, qgrp)`` exchange is **elided**
@@ -388,6 +394,7 @@ def prebucket_blocks(index: BM25Index, n_buckets: Optional[int] = None,
         n_buckets = _default_n_buckets(index)
     n_buckets = max(1, int(n_buckets))
     replicas = max(1, int(replicas))
+    displaced = index.blocks
     b = index.blocks
     for c in ("bucket", "replica"):
         if c in b.columns:
@@ -407,6 +414,17 @@ def prebucket_blocks(index: BM25Index, n_buckets: Optional[int] = None,
 
         storage_level = StorageLevel.MEMORY_AND_DISK
     index.blocks = b.persist(storage_level)
+    # materialize HERE (residency is this call's whole point), then
+    # release the relation this one displaces — re-prebucketing or
+    # adopting residency over a cached load would otherwise pin the
+    # old blocks copy in executor memory for the session's lifetime,
+    # and every call site had to hand-write the unpersist dance.
+    # Order matters: the new relation's lineage reads the displaced
+    # one, so the unpersist only happens after the materialization.
+    index.blocks.count()
+    if unpersist_displaced and (displaced.storageLevel.useMemory
+                                or displaced.storageLevel.useDisk):
+        displaced.unpersist(blocking=False)
     index.prebucket_n = n_buckets
     index.prebucket_replicas = replicas
     return index

@@ -71,7 +71,8 @@ from ..config import BM25Params, FoldedBM25, TextConfig
 from ..plans.build import BM25Index
 
 _LOG_SCHEMA = ("op string, batch_id string, commit_id string, "
-               "last_doc long, n_block_rows long, committed_at double")
+               "last_doc long, n_block_rows long, committed_at double, "
+               "metrics_json string")
 
 # data tables whose rows carry the commit_id stamp (vocab/qgrams/meta
 # are written once at save and never appended — no stamp needed)
@@ -296,7 +297,7 @@ def save_index_catalog(index: BM25Index, prefix: str, *,
         last_doc = int(index.doclens.agg(F.max("doc_id")).collect()[0][0] or 0)
     n_rows = io.read("blocks").count()
     io.create(spark.createDataFrame(
-        [("init", None, commit_id, last_doc, n_rows, time.time())],
+        [("init", None, commit_id, last_doc, n_rows, time.time(), None)],
         _LOG_SCHEMA), "log")
 
 
@@ -430,7 +431,11 @@ def append_batch_catalog(
     compute_batch_postings kernel — identical semantics to the other
     two backends), appended to the three data tables plus one log row.
     A ``batch_id`` already present in the log returns its recorded
-    metrics without re-appending (streaming replay dedupe).
+    metrics without re-appending (streaming replay dedupe) — the full
+    metrics dict rides the log row's ``metrics_json``, so the replay
+    return matches the other two backends' contract (a log written
+    before that column existed falls back to the fields the row
+    itself carries, with ``replay: True`` marking the shape).
 
     Write-audit-publish: the batch's rows land stamped with a fresh
     ``commit_id`` (one per physical attempt), and the log row —
@@ -449,10 +454,12 @@ def append_batch_catalog(
     prior = (io.read("log").filter(F.col("batch_id") == batch_id)
              .orderBy(F.desc("committed_at")).limit(1).collect())
     if prior:
-        r = prior[0]
+        r = prior[0].asDict()  # .asDict: pre-metrics_json logs lack the column
+        if r.get("metrics_json"):
+            return {**json.loads(r["metrics_json"]), "replay": True}
         return {"batch_id": batch_id, "replay": True,
-                "n_block_rows": int(r.n_block_rows or 0),
-                "last_doc": int(r.last_doc or 0)}
+                "n_block_rows": int(r["n_block_rows"] or 0),
+                "last_doc": int(r["last_doc"] or 0)}
 
     t0 = time.time()
     idx = load_index_catalog(spark, prefix)
@@ -466,11 +473,7 @@ def append_batch_catalog(
     blocks.unpersist()
     postings.unpersist()
     docs.unpersist()
-    # the publish point: readers see this batch only from here on
-    io.append(spark.createDataFrame(
-        [("append", batch_id, commit_id, int(last_doc), int(n_block_rows),
-          time.time())], _LOG_SCHEMA), "log")
-    return {
+    metrics = {
         "batch_id": batch_id,
         "n_docs_appended": n_new,
         "first_doc": first_doc,
@@ -479,6 +482,12 @@ def append_batch_catalog(
         "append_sec": round(time.time() - t0, 3),
         "span": span,
     }
+    # the publish point: readers see this batch only from here on
+    io.append(spark.createDataFrame(
+        [("append", batch_id, commit_id, int(last_doc), int(n_block_rows),
+          time.time(), json.dumps(metrics, sort_keys=True))],
+        _LOG_SCHEMA), "log")
+    return metrics
 
 
 def compact_index_catalog(spark: SparkSession, prefix: str) -> dict:
@@ -514,7 +523,7 @@ def compact_index_catalog(spark: SparkSession, prefix: str) -> dict:
         n_rows = merged.count()
         io.append(spark.createDataFrame(
             [("compact", None, commit_id, high_water_mark_catalog(spark, prefix),
-              int(n_rows), time.time())], _LOG_SCHEMA), "log")
+              int(n_rows), time.time(), None)], _LOG_SCHEMA), "log")
         io.replace(merged.select("*", F.lit(commit_id).alias("commit_id"))
                    .repartition("token")
                    .sortWithinPartitions("token", "block_id"), "blocks")

@@ -115,12 +115,18 @@ def _log_path(index_dir: str, seq: int) -> str:
 # delete-based pruning; tombstones would close it at the cost of the
 # LIST-size win vacuuming exists for.)
 #
-# Keyed by (abspath, log-dir inode), NOT path alone: deleting and
-# recreating an index at the same path is a NEW log instance whose seqs
-# legitimately restart at 1 — a path-keyed floor would block every
-# commit to the fresh index forever ("pathological writer contention"
-# after 64 stale-listing retries). The inode changes with the recreate,
-# so the stale floor dies with the directory it described.
+# Keyed by (abspath, log-dir inode): deleting and recreating an index
+# at the same path is a NEW log instance whose seqs legitimately
+# restart at 1 — a path-keyed floor would block every commit to the
+# fresh index forever ("pathological writer contention" after 64
+# stale-listing retries). A recreate USUALLY changes the inode, but
+# filesystems reuse freed inode numbers, so the key is only the fast
+# path — the ground truth is _any_entry_at_or_above: a same-instance
+# log always retains at least one entry file at or above any floor
+# this process observed (the checkpoint that set the floor is only
+# ever deleted by the vacuum of a LATER checkpoint, which itself
+# survives that vacuum), so an empty probe proves the directory was
+# recreated and _commit drops the stale floor instead of spinning.
 _CP_FLOOR: dict[tuple, int] = {}
 
 
@@ -130,6 +136,23 @@ def _floor_key(index_dir: str) -> tuple:
     except OSError:
         ino = None
     return (os.path.abspath(index_dir), ino)
+
+
+def _any_entry_at_or_above(index_dir: str, seq: int) -> bool:
+    """Direct (listing-free-of-cache) probe: does ANY committed entry
+    file exist at or above ``seq``? See the _CP_FLOOR note — False for
+    a floor this process observed proves the log directory was deleted
+    and recreated since (same-instance logs always retain their latest
+    checkpoint's entry), while a mere vacuum race keeps this True."""
+    import glob
+
+    for p in glob.glob(os.path.join(index_dir, LOG_DIR, "*.json")):
+        try:
+            if int(os.path.basename(p).split(".")[0]) >= seq:
+                return True
+        except ValueError:
+            continue
+    return False
 
 
 def _observe_checkpoint_floor(index_dir: str, log: list[dict]) -> None:
@@ -282,6 +305,12 @@ def _commit(index_dir: str, doc: dict, *, validate=None,
         # claiming there would re-create a pruned seq and gap the log
         floor = _CP_FLOOR.get(_floor_key(index_dir), 0)
         if doc["seq"] <= floor:
+            if not _any_entry_at_or_above(index_dir, floor):
+                # no surviving entry at/above the floor: this is a NEW
+                # log instance at a recycled (path, inode) key — the
+                # floor describes a deleted directory, drop it
+                _CP_FLOOR.pop(_floor_key(index_dir), None)
+                continue
             time.sleep(0.05)
             continue  # stale listing — re-read against the fresh log
         doc["committed_at"] = time.time()

@@ -435,7 +435,15 @@ def _checkpoint_run_id(checkpoint_dir: str, spark=None) -> str:
     Hadoop's FileSystem (``spark`` required there). Writing it to a
     machine-local path spelled like the URI would both defeat the
     delete-and-recreate guard (local nonce survives the remote reset)
-    and break multi-machine resume (each machine mints its own)."""
+    and break multi-machine resume (each machine mints its own).
+
+    A BARE path (no scheme) follows ``fs.defaultFS``, because that is
+    where Spark puts the checkpoint itself: ``checkpointLocation=/ckpt``
+    on a cluster whose defaultFS is hdfs:// checkpoints to
+    hdfs:/ckpt — minting the nonce at the driver-local /ckpt there
+    would recreate both failure modes above. Only an explicit
+    ``file:`` URI, or a bare path with a local defaultFS (or no
+    session to ask), is machine-local."""
     import re
     import uuid
 
@@ -452,6 +460,20 @@ def _checkpoint_run_id(checkpoint_dir: str, spark=None) -> str:
         from urllib.parse import urlparse
 
         local = urlparse(local).path
+    elif spark is not None and _default_fs_is_remote(spark):
+        # bare path + remote defaultFS: the checkpoint Spark writes
+        # lives on that filesystem, so the nonce must too. A nonce left
+        # at the machine-local spelling by the pre-fix code seeds the
+        # remote one (create-if-absent): manifests stamped with that
+        # identity stay recognized by the same-nonce replay rule
+        # instead of wedging the stream on upgrade.
+        seed = None
+        legacy = os.path.join(local, _NONCE_NAME)
+        if os.path.exists(legacy):
+            with open(legacy) as f:
+                seed = f.read().strip() or None
+        return _remote_checkpoint_run_id(spark, checkpoint_dir,
+                                         seed_nonce=seed)
     os.makedirs(local, exist_ok=True)
     nonce_p = os.path.join(local, _NONCE_NAME)
     if not os.path.exists(nonce_p):
@@ -471,11 +493,29 @@ def _checkpoint_run_id(checkpoint_dir: str, spark=None) -> str:
     return f"{os.path.abspath(local)}#{nonce}"
 
 
-def _remote_checkpoint_run_id(spark, checkpoint_dir: str) -> str:
+def _default_fs_is_remote(spark) -> bool:
+    """True when ``fs.defaultFS`` names a non-local filesystem — the
+    resolution Spark itself applies to a scheme-less
+    ``checkpointLocation``."""
+    try:
+        fs = spark._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+    except Exception:
+        return False  # no JVM access (mocked session): assume local
+    return bool(fs) and not fs.startswith("file:")
+
+
+def _remote_checkpoint_run_id(spark, checkpoint_dir: str,
+                              seed_nonce: Optional[str] = None) -> str:
     """The nonce protocol over Hadoop's FileSystem for remote
     checkpoint URIs. Same wire format as the local path (one plain
     UTF-8 hex line), so a checkpoint reachable BOTH ways — an NFS/fuse
     mount locally, an hdfs:// URI elsewhere — reads one identity.
+
+    ``seed_nonce``: value to publish IF no nonce exists yet — the
+    pre-defaultFS-fix migration path (a bare-path checkpoint whose
+    nonce was minted machine-locally keeps its identity when the nonce
+    moves to the filesystem the checkpoint actually lives on). An
+    existing remote nonce always wins.
 
     Publish is write-to-temp + rename, never an in-place write: a
     driver killed mid-write must not leave a torn/empty nonce that
@@ -494,7 +534,8 @@ def _remote_checkpoint_run_id(spark, checkpoint_dir: str) -> str:
             checkpoint_dir, f"{_NONCE_NAME}.{uuid.uuid4().hex}.tmp")
         out = fs.create(tmp, False)  # genuine store errors raise HERE
         try:
-            out.write(bytearray(f"{uuid.uuid4().hex}\n".encode("ascii")))
+            out.write(bytearray(
+                f"{seed_nonce or uuid.uuid4().hex}\n".encode("ascii")))
         finally:
             out.close()
         try:
