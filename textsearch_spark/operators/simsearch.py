@@ -603,6 +603,7 @@ def lsh_cosine_topk(
     *,
     n_planes: int = 8,
     dim: int = 64,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -615,9 +616,21 @@ def lsh_cosine_topk(
     broadcast {bucket: query matrix}, and candidates stay bare
     (bucket, id, vec) rows of the probed buckets only — scored with a
     per-bucket matmul kernel, no qvec column in the exchange and no
-    cached corpus frame to leak (both r03 flags)."""
+    cached corpus frame to leak (both r03 flags).
+
+    ``multiprobe=t`` additionally probes, per query, the ``t`` buckets
+    reached by flipping the query's ``t`` lowest-|margin| plane signs —
+    the classic multi-probe LSH recall lift (a tight cluster straddling
+    one hyperplane splits across exactly that bit, and the straddling
+    query's margin on it is the smallest). Cost is proportional and
+    counted: candidates ~(1+t)x the single-probe fraction, still a
+    bucket-key join. Corpus rows live in exactly ONE bucket, so the
+    probed candidate sets are disjoint and no dedup pass is needed."""
     assert len(query_ids) <= MAX_QUERY_BATCH, (
         f"query batch {len(query_ids)} exceeds {MAX_QUERY_BATCH}; split the batch"
+    )
+    assert 0 <= multiprobe <= n_planes, (
+        f"multiprobe must be in [0, n_planes={n_planes}], got {multiprobe}"
     )
     spark = embeddings.sparkSession
     qrows = embeddings.filter(F.col(id_col).isin(query_ids)).select(
@@ -626,8 +639,17 @@ def lsh_cosine_topk(
     probes: dict = {}
     for r in qrows:
         x = np.array(list(r[1]), dtype=np.float64)
-        bucket = "".join((x @ planes_t >= 0).astype(np.uint8).astype("U1"))
+        margins = x @ planes_t
+        signs = (margins >= 0).astype(np.uint8)
+        bucket = "".join(signs.astype("U1"))
         probes.setdefault(bucket, []).append((int(r[0]), x))
+        # flip the multiprobe lowest-|margin| bits, one at a time
+        # (plane index breaks |margin| ties — deterministic)
+        for p in np.lexsort((np.arange(n_planes), np.abs(margins)))[:multiprobe]:
+            flipped = signs.copy()
+            flipped[p] ^= 1
+            probes.setdefault(
+                "".join(flipped.astype("U1")), []).append((int(r[0]), x))
     bq = _query_broadcast(spark, probes)
     probed = spark.createDataFrame(
         [(b,) for b in sorted(probes)], "bucket string")
