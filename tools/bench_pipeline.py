@@ -1,0 +1,280 @@
+"""Throughput evidence for the LLM-training-data pipeline operator
+family — dedup, embedding ANN, text analysis — at synthesized scale.
+
+Deliberately SEPARATE from bench.py: the driver's per-round bench wall
+budget belongs to the north-rule build/query/scaling gates, while this
+tool is run manually and its record lives in ``BENCH/`` (see
+BENCH/BASELINE.md). The same determinism rules apply: corpora and
+embeddings are synthesized per-row-seeded, so every number is
+reproducible at any parallelism.
+
+Legs (each best-of-``PIPE_REPS``, default 2, after one untimed warm-up
+of the Spark/Arrow worker pool):
+
+- text analysis: ``lang_id`` / ``quality_score`` / ``token_counts`` /
+  ``fingerprint_winnow`` over ``PIPE_DOCS`` (default 100k) synthetic
+  code documents — docs/sec each;
+- dedup: ``exact_duplicates`` / ``simhash`` / ``minhash_lsh_dedup``
+  (full shingle -> minhash -> LSH band join -> exact-Jaccard verify)
+  over the same corpus, which carries ~10% injected exact duplicates —
+  docs/sec each, plus the pair counts actually found;
+- embedding ANN over ``PIPE_VECS`` (default 200k) 64-dim clustered
+  vectors: brute-force ``cosine_topk`` (the exact baseline),
+  ``lsh_cosine_topk`` (single-probe and ``multiprobe=2``) and
+  pre-assigned trained-quantizer ``ivf_cosine_topk`` (the scale
+  paths) for a ``PIPE_QUERIES``
+  (default 256) query batch — qps each, plus recall@k vs brute force
+  AND the mean scanned fraction (share of the corpus each query
+  actually scores). The scanned fraction is the number that predicts
+  100-TB behavior: at sandbox sizes the brute matmul is
+  memory-bandwidth-trivial (1M x 64-dim = 256 MB), so its wall time
+  only loses to the bucketed paths once the per-query work dominates
+  the fixed per-batch cost — run with a big PIPE_QUERIES (2048) to
+  see the crossover, and read scanned_frac for the asymptote.
+
+Usage: python tools/bench_pipeline.py   (env: SPARK_GRAFT_CPUS,
+PIPE_DOCS, PIPE_VECS, PIPE_QUERIES, PIPE_REPS)
+Prints one JSON line and writes BENCH/pipeline_last_run.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def _timed(fn, reps: int):
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best, out
+
+
+def main():
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("PIPE_DOCS", "100000"))
+    n_vecs = int(os.environ.get("PIPE_VECS", "200000"))
+    n_queries = int(os.environ.get("PIPE_QUERIES", "256"))
+    reps = int(os.environ.get("PIPE_REPS", "2"))
+    dim = 64
+
+    from pyspark.sql import functions as F
+
+    from textsearch_spark.operators.dedup import (
+        exact_duplicates, minhash_lsh_dedup, simhash,
+    )
+    from textsearch_spark.operators.simsearch import (
+        _hyperplanes, cosine_topk, ivf_assign, ivf_cosine_topk,
+        lsh_cosine_topk, train_ivf_centroids, with_lsh_bucket,
+    )
+    from textsearch_spark.operators.textstats import (
+        fingerprint_winnow, lang_id, quality_score, token_counts,
+    )
+    from textsearch_spark.session import get_spark
+    from textsearch_spark.sources.corpus import synthetic_code_corpus, with_doc_ids
+
+    spark = get_spark(f"local[{cpus}]", app_name="bench-pipeline",
+                      shuffle_partitions=cpus)
+    # warm the Arrow python-worker pool (steady-state executor cost)
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: (pdf for pdf in it), "x int").count()
+
+    timings: dict = {}
+    meta: dict = {"n_docs": n_docs, "n_vecs": n_vecs, "dim": dim,
+                  "n_queries": n_queries, "reps": reps, "cpus": cpus}
+
+    # ---- corpus with ~10% injected exact duplicates (dedup must find
+    # something, not just scan) — per-row-seeded, deterministic
+    n_base = int(n_docs * 0.9)
+    base = synthetic_code_corpus(spark, n_base, partitions=cpus * 2)
+    dups = base.sample(fraction=(n_docs - n_base) / n_base, seed=7)
+    corpus = with_doc_ids(base.union(dups)).select(
+        "doc_id", F.col("content").alias("text")).cache()
+    n_actual = corpus.count()
+    meta["n_docs_actual"] = n_actual
+
+    for name, fn in [
+        ("lang_id", lambda: lang_id(corpus).count()),
+        ("quality_score", lambda: quality_score(corpus).count()),
+        ("token_counts", lambda: token_counts(corpus).count()),
+        ("fingerprint_winnow",
+         lambda: fingerprint_winnow(corpus, k=4, window=5).count()),
+        ("dedup_exact", lambda: exact_duplicates(corpus).count()),
+        ("simhash", lambda: simhash(corpus, bits=16).count()),
+        ("minhash_lsh_dedup",
+         lambda: minhash_lsh_dedup(corpus, shingle_n=3, n_hashes=8,
+                                   n_bands=4, threshold=0.5).count()),
+    ]:
+        dt, rows = _timed(fn, reps)
+        timings[name] = round(dt, 3)
+        meta.setdefault("rows_out", {})[name] = rows
+        meta.setdefault("docs_per_sec", {})[name] = round(n_actual / dt, 1)
+
+    # ---- clustered synthetic embeddings: 32 well-separated unit
+    # centroids, per-row-seeded noise (bit-identical at any
+    # parallelism). sigma=0.05 keeps the noise norm (~0.05*sqrt(64) =
+    # 0.4) below the centroid norm so same-cluster points are actual
+    # cosine neighbors — at 0.25 the noise norm is 2.0 and the
+    # "clusters" are noise-dominated (measured: LSH recall 0.016,
+    # which grades the corpus, not the operator)
+    n_cl = 32
+    sigma = 0.05
+
+    def gen_vecs(batches):
+        import pandas as pd
+        cent_rng = np.random.default_rng(424242)
+        cents = cent_rng.normal(size=(n_cl, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                r = np.random.default_rng(int(i) + 99_991)
+                v = cents[int(i) % n_cl] + sigma * r.normal(size=dim)
+                vecs.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    emb = (
+        spark.range(n_vecs, numPartitions=cpus * 2)
+        .mapInPandas(gen_vecs, "vec_id long, embedding array<float>")
+        .cache()
+    )
+    emb.count()
+    qids = list(range(0, n_vecs, max(1, n_vecs // n_queries)))[:n_queries]
+    # query vectors driver-side, for the scanned-fraction counters
+    # (the operators collect their own copies; this one is ~dim*|q| floats)
+    qvecs = np.array(
+        [list(r[1]) for r in emb.filter(F.col("vec_id").isin(qids))
+         .select("vec_id", "embedding").collect()], dtype=np.float64)
+
+    dt, _ = _timed(lambda: cosine_topk(emb, qids, k=10).count(), reps)
+    timings["ann_brute"] = round(dt, 3)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, qids, k=10).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return round(len(got & brute) / max(1, len(brute)), 4)
+
+    # 6 hyperplanes = 64 buckets. Single-table sign-LSH recall is the
+    # knob's tradeoff (more planes -> smaller buckets -> lower recall —
+    # a tight cluster straddling any ONE plane splits across buckets);
+    # the honest recall@10 vs brute force is recorded next to the qps.
+    n_planes = 6
+    dt, _ = _timed(
+        lambda: lsh_cosine_topk(emb, qids, k=10, n_planes=n_planes,
+                                dim=dim).count(),
+        reps)
+    timings["ann_lsh"] = round(dt, 3)
+    meta["lsh_recall_at_10"] = recall(
+        lsh_cosine_topk(emb, qids, k=10, n_planes=n_planes, dim=dim))
+
+    # scanned fraction: share of corpus rows each query's kernel scores
+    # (mirrors the operators' own bucket/probe selection exactly)
+    bsizes = {
+        r["bucket"]: r["n"]
+        for r in with_lsh_bucket(emb, n_planes, dim)
+        .groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    planes_t = _hyperplanes(n_planes, dim).T
+
+    def lsh_scanned_frac(t: int) -> float:
+        total = 0.0
+        for x in qvecs:
+            margins = x @ planes_t
+            signs = (margins >= 0).astype(np.uint8)
+            probed = {"".join(signs.astype("U1"))}
+            for p in np.lexsort((np.arange(n_planes), np.abs(margins)))[:t]:
+                f = signs.copy()
+                f[p] ^= 1
+                probed.add("".join(f.astype("U1")))
+            total += sum(bsizes.get(b, 0) for b in probed) / n_vecs
+        return total / len(qvecs)
+
+    lsh_frac = lsh_scanned_frac(0)
+
+    # multi-probe LSH: +2 flipped buckets per query — the recall lift
+    # single-table sign-LSH needs when tight clusters straddle a plane
+    dt, _ = _timed(
+        lambda: lsh_cosine_topk(emb, qids, k=10, n_planes=n_planes,
+                                dim=dim, multiprobe=2).count(),
+        reps)
+    timings["ann_lsh_mp2"] = round(dt, 3)
+    meta["lsh_mp2_recall_at_10"] = recall(
+        lsh_cosine_topk(emb, qids, k=10, n_planes=n_planes, dim=dim,
+                        multiprobe=2))
+    lsh_mp2_frac = lsh_scanned_frac(2)
+
+    # finer trained quantizer than the corpus's 32 generative clusters:
+    # 128 lists splits each cluster ~4 ways, so nprobe=8 reads ~6% of
+    # the table (vs 18.5% at 32 lists / nprobe=4 in the r5a run) and
+    # the probed-list join makes 4 task waves on 32 cores instead of 1
+    n_lists = int(os.environ.get("PIPE_IVF_LISTS", "128"))
+    nprobe = int(os.environ.get("PIPE_IVF_NPROBE", "8"))
+    meta["ivf_lists"], meta["ivf_nprobe"] = n_lists, nprobe
+    cents = train_ivf_centroids(emb, n_lists, n_iter=3)
+    assigned = ivf_assign(emb, n_lists, centroids=cents).cache()
+    assigned.count()  # the once-per-index-lifetime quantizer pass, untimed
+    dt, _ = _timed(
+        lambda: ivf_cosine_topk(emb, qids, k=10, nprobe=nprobe,
+                                centroids=cents, assigned=assigned).count(),
+        reps)
+    timings["ann_ivf_trained"] = round(dt, 3)
+    meta["ivf_recall_at_10"] = recall(
+        ivf_cosine_topk(emb, qids, k=10, nprobe=nprobe, centroids=cents,
+                        assigned=assigned))
+
+    # IVF scanned fraction: probed-list sizes, same lexsort probe rule
+    # as ivf_cosine_topk (nprobe nearest centroids by the L2 score)
+    lsizes = {
+        r["centroid_id"]: r["n"]
+        for r in assigned.groupBy("centroid_id")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    c_ids = np.arange(len(cents), dtype=np.int64)
+    c_sq = 0.5 * np.einsum("ij,ij->i", cents, cents)
+    fracs = []
+    for x in qvecs:
+        scores = cents @ x - c_sq
+        order = np.lexsort((c_ids, -scores))[:nprobe]
+        fracs.append(
+            sum(lsizes.get(int(c), 0) for c in c_ids[order]) / n_vecs)
+    meta["scanned_frac"] = {
+        "ann_brute": 1.0,
+        "ann_lsh": round(lsh_frac, 4),
+        "ann_lsh_mp2": round(lsh_mp2_frac, 4),
+        "ann_ivf_trained": round(float(np.mean(fracs)), 4),
+    }
+
+    for leg in ("ann_brute", "ann_lsh", "ann_lsh_mp2", "ann_ivf_trained"):
+        meta.setdefault("ann_qps", {})[leg] = round(len(qids) / timings[leg], 1)
+
+    out = {
+        "metric": "pipeline_ops",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "throughput": meta,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "BENCH", "pipeline_last_run.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
