@@ -603,6 +603,18 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
 
 
+def q_embedding_lsh_topk_mp(spark, sf_dir):
+    """Multi-probe ANN: each query also probes the 2 buckets reached by
+    flipping its 2 lowest-|margin| hyperplane signs (recall lift when a
+    tight cluster straddles a plane)."""
+    from textsearch_spark.operators.simsearch import lsh_cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    res = lsh_cosine_topk(emb, list(range(20)), k=5, n_planes=8, dim=64,
+                          multiprobe=2)
+    return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via LSH buckets + exact
     verify."""
@@ -1012,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_txnlog": q_bm25_topk_txnlog,
         "ml_sparse_roundtrip": q_ml_sparse_roundtrip,
         "bm25_topk_catalog_v2": q_bm25_topk_catalog_v2,
+        "embedding_lsh_topk_mp": q_embedding_lsh_topk_mp,
         # ---- rows-only entries (no SQL oracle) stay last
         "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,
     }
@@ -1241,7 +1254,57 @@ SELECT p.doc_id, p.pos::BIGINT AS pos, i.term_id FROM pos p JOIN ids i USING (to
     sqls["bm25_topk_txnlog"] = sqls["bm25_topk_appended"]
     sqls["bm25_topk_catalog"] = sqls["bm25_topk_appended"]
     sqls["bm25_topk_catalog_v2"] = sqls["bm25_topk_appended"]
+    sqls["embedding_lsh_topk_mp"] = _lsh_mp_topk_sql()
     return sqls
+
+
+def _lsh_mp_topk_sql() -> str:
+    """Multi-probe LSH top-5 oracle: per query, the base sign bucket
+    plus the 2 buckets reached by flipping the lowest-|margin| planes
+    (tie by plane index asc) — the exact probe rule of
+    ``lsh_cosine_topk(multiprobe=2)``. Corpus rows live in one bucket,
+    so probe candidate sets are disjoint and the union needs no dedup."""
+    return f"""
+WITH b AS ({_lsh_bucket_sql()}),
+e AS (SELECT b.vec_id, b.bucket, emb.embedding::DOUBLE[] AS v
+      FROM b JOIN embeddings emb USING (vec_id)),
+qm AS (
+  SELECT vec_id AS query_id, p, sum(x * val) AS m
+  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               unnest(embedding)::DOUBLE AS x FROM embeddings WHERE vec_id < 20) q
+  JOIN (SELECT * FROM (VALUES {_plane_vals_sql()}) planes(p, d, val)) pl USING (d)
+  GROUP BY 1, 2
+),
+qr AS (
+  SELECT query_id, p, m,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY abs(m) ASC, p ASC) AS rn
+  FROM qm
+),
+probes AS (
+  SELECT query_id, j,
+         string_agg(CASE WHEN rn = j THEN (CASE WHEN m >= 0 THEN '0' ELSE '1' END)
+                         ELSE (CASE WHEN m >= 0 THEN '1' ELSE '0' END) END,
+                    '' ORDER BY p) AS bucket
+  FROM qr CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+  GROUP BY query_id, j
+),
+qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 20),
+s AS (
+  SELECT pr.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM probes pr JOIN e ON e.bucket = pr.bucket
+  JOIN qv q ON q.query_id = pr.query_id
+  WHERE e.vec_id <> pr.query_id
+)
+SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos4 FROM (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
 
 
 _TFIDF_VEC = f"""
@@ -1575,14 +1638,19 @@ FROM d JOIN norms na ON a_id = na.doc_id JOIN norms nb ON b_id = nb.doc_id
     }
 
 
-def _lsh_bucket_sql() -> str:
-    """(vec_id, bucket) via the shared deterministic hyperplanes."""
+def _plane_vals_sql() -> str:
+    """(p, d, val) VALUES rows of the shared deterministic hyperplanes."""
     from textsearch_spark.operators.simsearch import _hyperplane_expr
 
     planes = _hyperplane_expr(8, 64)
-    plane_vals = ", ".join(
+    return ", ".join(
         f"({p}, {d + 1}, {planes[p][d]!r})" for p in range(8) for d in range(64)
     )
+
+
+def _lsh_bucket_sql() -> str:
+    """(vec_id, bucket) via the shared deterministic hyperplanes."""
+    plane_vals = _plane_vals_sql()
     return f"""
 SELECT vec_id, string_agg(bb, '' ORDER BY p) AS bucket FROM (
   SELECT vec_id, p, CASE WHEN sum(x * val) >= 0 THEN '1' ELSE '0' END AS bb
