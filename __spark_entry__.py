@@ -603,6 +603,19 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs resolved to connected components (cluster_id =
+    min doc_id), the closure step between pair detection and
+    keep-one-representative dedup."""
+    from textsearch_spark.operators.dedup import (
+        duplicate_clusters, minhash_lsh_dedup,
+    )
+
+    pairs = minhash_lsh_dedup(_docs(spark, sf_dir), shingle_n=3, n_hashes=8,
+                              n_bands=4, threshold=0.18)
+    return duplicate_clusters(pairs)
+
+
 def q_embedding_lsh_topk_mp(spark, sf_dir):
     """Multi-probe ANN: each query also probes the 2 buckets reached by
     flipping its 2 lowest-|margin| hyperplane signs (recall lift when a
@@ -1025,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_sparse_roundtrip": q_ml_sparse_roundtrip,
         "bm25_topk_catalog_v2": q_bm25_topk_catalog_v2,
         "embedding_lsh_topk_mp": q_embedding_lsh_topk_mp,
+        "dedup_clusters": q_dedup_clusters,
         # ---- rows-only entries (no SQL oracle) stay last
         "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,
     }
@@ -1255,6 +1269,21 @@ SELECT p.doc_id, p.pos::BIGINT AS pos, i.term_id FROM pos p JOIN ids i USING (to
     sqls["bm25_topk_catalog"] = sqls["bm25_topk_appended"]
     sqls["bm25_topk_catalog_v2"] = sqls["bm25_topk_appended"]
     sqls["embedding_lsh_topk_mp"] = _lsh_mp_topk_sql()
+    # connected components over the minhash near-dup pairs: transitive
+    # closure via a recursive CTE (quadratic in component size — fine
+    # at oracle scale; the engine side is the log-round star algorithm)
+    sqls["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({sqls["minhash_lsh_dedup"]})),
+nodes AS (SELECT doc_a AS n FROM pairs UNION SELECT doc_b FROM pairs),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT reach.n, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT n::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY n
+"""
     return sqls
 
 

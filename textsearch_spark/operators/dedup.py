@@ -223,3 +223,149 @@ def simhash(df: DataFrame, bits: int = 16, *, doc_col: str = "doc_id",
         F.lit(0),
     )
     return agg.select(doc_col, sim.cast("long").alias("simhash"))
+
+
+def duplicate_clusters(pairs: DataFrame, *, a_col: str = "doc_a",
+                       b_col: str = "doc_b", max_iter: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    for every doc appearing in ``pairs``, where cluster_id is the
+    smallest doc_id of its component. Pair detection alone does not
+    deduplicate a corpus — A~B and B~C must resolve to ONE keeper even
+    when A~C was never emitted — so this is the closure step between
+    ``minhash_lsh_dedup``/``ngram_jaccard_pairs``/``embedding
+    near-dup`` output and :func:`dedup_keep_canonical`.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), chosen
+    over naive label propagation for the 100-TB shape:
+
+    - converges in O(log^2 n) rounds independent of component DIAMETER
+      (min-label propagation needs O(diameter) rounds — a 10^6-doc
+      near-dup chain, common when a crawl carries incremental page
+      edits, would need 10^6 shuffles);
+    - each round is groupBy(min) + broadcast-free equi-joins keyed by
+      node id — no collect_list, so a hot node (boilerplate shared by
+      millions of docs) never materializes its neighborhood in one
+      task;
+    - the edge set only shrinks toward the star fixpoint, so per-round
+      shuffle volume is bounded by the input pair count.
+
+    Each round is frozen with an eager local checkpoint (materialize +
+    plan truncation) and the prior round's blocks released: the round
+    plan references the previous edge set ~6 times, so an untruncated
+    loop grows the logical plan exponentially. On executor loss the
+    current round recomputes from the previous checkpoint — one
+    round's bounded work, and the (deterministic min-fold) result is
+    unaffected.
+    Raises RuntimeError if ``max_iter`` rounds do not reach the
+    fixpoint (cannot happen for connected inputs under the published
+    bound; the guard turns a logic regression into a loud error, not
+    an infinite job)."""
+    raw = pairs.select(F.col(a_col).cast("long").alias("u"),
+                       F.col(b_col).cast("long").alias("v"))
+    # nodes BEFORE the self-loop filter: the contract covers every doc
+    # appearing in ``pairs``, and a degenerate (d, d) input row still
+    # names d (it becomes its own singleton cluster)
+    nodes = (
+        raw.select(F.col("u").alias("doc_id"))
+        .union(raw.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+    # canonical undirected edge set, self-loops dropped
+    e = (
+        raw.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("v"), F.greatest("u", "v").alias("u"))
+        .select("u", "v")  # u > v, matching small-star's orientation
+        .distinct()
+    )
+    edges = e.persist()
+    edges.count()
+    for it in range(max_iter):
+        # ---- large-star: for every node u, attach its STRICTLY LARGER
+        # neighbors to m(u) = min(neighborhood(u) + {u}). Needs the
+        # symmetric view (each endpoint acts as the center once).
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", F.col("u")).alias("m"))
+        )
+        # (v, m) with v > u >= m — already big->small oriented
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # ---- small-star: on the big->small orientation, for every
+        # center u connect {smaller neighbors + u} to their min.
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(m2, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        # truncate the iterated plan EVERY round: each round's plan
+        # references `edges` ~6 times (sym twice, two joins, the
+        # fixpoint diff), so an untruncated loop grows the logical
+        # plan ~6^rounds and OOMs the driver in plan processing long
+        # before the data is large. An eager local checkpoint both
+        # materializes the round and replaces its plan with a leaf —
+        # the standard iterative-graph pattern (GraphX checkpoints on
+        # an interval for exactly this reason).
+        small = small.localCheckpoint(eager=True)
+        # fixpoint iff no edge changed (sets, both directions checked
+        # by count equality + one-sided difference)
+        changed = (small.count() != edges.count()
+                   or small.exceptAll(edges).limit(1).count() > 0)
+        # round 0's cache is released here; later rounds' blocks are
+        # RDD-level checkpoint storage that DataFrame.unpersist cannot
+        # reach (it only consults the CacheManager) — those are freed
+        # by the ContextCleaner when this reassignment drops their
+        # last reference. Dead-round storage is therefore bounded by
+        # GC cadence, each round no larger than the input pair set and
+        # shrinking toward the star fixpoint.
+        edges.unpersist()
+        edges = small
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds — "
+            "this exceeds the alternating-star bound for any real input; "
+            "raise max_iter only if the pair graph is adversarial")
+    # star fixpoint: every edge points node -> component min; component
+    # minima themselves appear only on the small side, so they join to
+    # nothing and keep their own id. The result stays backed by the
+    # final round's materialized checkpoint (bounded by the duplicate
+    # set, not the corpus); its blocks are freed by the ContextCleaner
+    # when the caller drops the returned frame — nothing the caller
+    # would have to know to unpersist (the r03 leaked-cache class was
+    # GROWING internal caches; this is one bounded leaf with the
+    # result's own lifetime).
+    return (
+        nodes.join(edges.select(F.col("u").alias("doc_id"),
+                                F.col("v").alias("cluster_id")),
+                   "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, *,
+                         doc_col: str = "doc_id", a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> DataFrame:
+    """The corpus with every near-dup cluster collapsed to its
+    smallest-id representative: resolve ``pairs`` to components
+    (:func:`duplicate_clusters`), then anti-join the non-canonical
+    members out of ``df``. Docs in no pair pass through untouched —
+    the anti-join's right side is only the (small) duplicate set."""
+    drop = (
+        duplicate_clusters(pairs, a_col=a_col, b_col=b_col)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return df.join(drop.withColumnRenamed("doc_id", doc_col), doc_col,
+                   "left_anti")

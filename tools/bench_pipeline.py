@@ -71,7 +71,7 @@ def main():
     from pyspark.sql import functions as F
 
     from textsearch_spark.operators.dedup import (
-        exact_duplicates, minhash_lsh_dedup, simhash,
+        dedup_keep_canonical, exact_duplicates, minhash_lsh_dedup, simhash,
     )
     from textsearch_spark.operators.simsearch import (
         _hyperplanes, cosine_topk, ivf_assign, ivf_cosine_topk,
@@ -114,6 +114,13 @@ def main():
         ("minhash_lsh_dedup",
          lambda: minhash_lsh_dedup(corpus, shingle_n=3, n_hashes=8,
                                    n_bands=4, threshold=0.5).count()),
+        # the full end-to-end dedup: pairs -> connected components ->
+        # corpus with every cluster collapsed to its min-id keeper
+        ("dedup_canonical",
+         lambda: dedup_keep_canonical(
+             corpus,
+             minhash_lsh_dedup(corpus, shingle_n=3, n_hashes=8,
+                               n_bands=4, threshold=0.5)).count()),
     ]:
         dt, rows = _timed(fn, reps)
         timings[name] = round(dt, 3)
