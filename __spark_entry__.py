@@ -603,6 +603,15 @@ def q_embedding_lsh_topk(spark, sf_dir):
     return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole banding (hamming <= 2 on
+    16-bit hashes, banded 6/5/5 so any in-budget pair matches exactly
+    on at least one band)."""
+    from textsearch_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), bits=16, max_hamming=2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup pairs resolved to connected components (cluster_id =
     min doc_id), the closure step between pair detection and
@@ -1039,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_catalog_v2": q_bm25_topk_catalog_v2,
         "embedding_lsh_topk_mp": q_embedding_lsh_topk_mp,
         "dedup_clusters": q_dedup_clusters,
+        "simhash_near_dup": q_simhash_near_dup,
         # ---- rows-only entries (no SQL oracle) stay last
         "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,
     }
@@ -1283,6 +1293,23 @@ reach(n, r) AS (
   SELECT reach.n, edges.b FROM reach JOIN edges ON reach.r = edges.a
 )
 SELECT n::BIGINT AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY n
+"""
+    # SimHash pigeonhole pairs: bands (lo, mask) = (0,63),(6,31),(11,31)
+    # — the same 6/5/5 split of 16 bits as simhash_near_dup_pairs(
+    # bits=16, max_hamming=2); verify is an exact popcount on the XOR
+    sqls["simhash_near_dup"] = f"""
+WITH s AS ({sqls["simhash"]}),
+b AS (
+  SELECT doc_id, simhash, bd.band, (simhash >> bd.lo) & bd.mask AS v
+  FROM s, (VALUES (0, 0, 63), (1, 6, 31), (2, 11, 31)) bd(band, lo, mask)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         a.simhash AS ha, c.simhash AS hb
+  FROM b a JOIN b c USING (band, v) WHERE a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 2
 """
     return sqls
 

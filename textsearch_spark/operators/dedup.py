@@ -369,3 +369,63 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame, *,
     )
     return df.join(drop.withColumnRenamed("doc_id", doc_col), doc_col,
                    "left_anti")
+
+
+def simhash_near_dup_pairs(df: DataFrame, *, bits: int = 16, max_hamming: int = 2,
+                           doc_col: str = "doc_id", text_col: str = "text",
+                           simhashes: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, hamming) for doc pairs whose ``bits``-bit SimHash
+    Hamming distance is <= ``max_hamming`` — the pair-extraction step
+    :func:`simhash` alone lacks (hashes without pairs dedupe nothing).
+
+    Candidate generation is pigeonhole banding, not an all-pairs scan:
+    the hash splits into ``max_hamming + 1`` contiguous bit bands, and
+    any pair within the distance budget differs in at most
+    ``max_hamming`` bits, so at least ONE band matches exactly — an
+    equi-join on (band, band_value). The popcount verify then runs on
+    bucket-mates only. At corpus scale the join is keyed by
+    (band, value): the skew surface is a hot band value (near-empty
+    docs hashing alike), bounded by the same analysis as the MinHash
+    band join; the verify is exact, so band geometry affects cost
+    only, never the emitted pair set.
+
+    ``simhashes=``: optional pre-computed :func:`simhash` output
+    (must be the same ``bits``), same no-internal-cache contract as
+    the other detectors."""
+    if not 0 <= max_hamming < bits:
+        raise ValueError(f"max_hamming must be in [0, bits), got {max_hamming}")
+    sh = simhashes if simhashes is not None else simhash(
+        df, bits, doc_col=doc_col, text_col=text_col)
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    los = [sum(widths[:i]) for i in range(n_bands)]
+    banded = sh.select(
+        doc_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("simhash", lo).bitwiseAND(
+                    F.lit((1 << w) - 1)).alias("v"),
+            )
+            for i, (lo, w) in enumerate(zip(los, widths))
+        ])).alias("bv"),
+    ).select(doc_col, "simhash", "bv.band", "bv.v")
+    a = banded.select(F.col(doc_col).alias("doc_a"),
+                      F.col("simhash").alias("__ha"), "band", "v")
+    b = banded.select(F.col(doc_col).alias("doc_b"),
+                      F.col("simhash").alias("__hb"), "band", "v")
+    cand = (
+        a.join(b, ["band", "v"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "__ha", "__hb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+            .cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
