@@ -123,6 +123,34 @@ def test_keep_canonical(spark):
     assert kept == [0, 1, 4, 5, 6, 7, 9]
 
 
+def test_composes_with_simhash_pairs(spark):
+    # the resolver is pair-source agnostic: feed it SimHash banding
+    # pairs (hamming col is just ignored) and collapse the corpus
+    from textsearch_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "pack my box with five dozen liquor jugs"),
+            (4, "sphinx of black quartz judge my vow"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = simhash_near_dup_pairs(docs, bits=16, max_hamming=0)
+    clusters = {r.doc_id: r.cluster_id
+                for r in duplicate_clusters(pairs).collect()}
+    # the three identical docs form one cluster labelled 0
+    assert clusters[0] == clusters[1] == clusters[2] == 0
+    kept = sorted(r.doc_id
+                  for r in dedup_keep_canonical(docs, pairs).collect())
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert {3, 4} <= set(kept)
+
+
 def test_no_leaked_persisted_frames(spark):
     base = spark.sparkContext._jsc.getPersistentRDDs().size()
     df = duplicate_clusters(_pairs_df(spark, [(1, 2), (2, 3), (8, 9)]))

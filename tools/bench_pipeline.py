@@ -72,6 +72,7 @@ def main():
 
     from textsearch_spark.operators.dedup import (
         dedup_keep_canonical, exact_duplicates, minhash_lsh_dedup, simhash,
+        simhash_near_dup_pairs,
     )
     from textsearch_spark.operators.simsearch import (
         _hyperplanes, cosine_topk, ivf_assign, ivf_cosine_topk,
@@ -111,6 +112,12 @@ def main():
          lambda: fingerprint_winnow(corpus, k=4, window=5).count()),
         ("dedup_exact", lambda: exact_duplicates(corpus).count()),
         ("simhash", lambda: simhash(corpus, bits=16).count()),
+        # 32-bit hashes at this corpus size: 16-bit would birthday-
+        # collide ~76k spurious exact pairs at 100k docs and grade the
+        # hash width, not the banding join
+        ("simhash_pairs",
+         lambda: simhash_near_dup_pairs(corpus, bits=32,
+                                        max_hamming=2).count()),
         ("minhash_lsh_dedup",
          lambda: minhash_lsh_dedup(corpus, shingle_n=3, n_hashes=8,
                                    n_bands=4, threshold=0.5).count()),
