@@ -123,6 +123,21 @@ def test_keep_canonical(spark):
     assert kept == [0, 1, 4, 5, 6, 7, 9]
 
 
+def test_string_ids_cluster_lexicographically(spark):
+    # the operator is id-type generic (no numeric cast): string ids
+    # resolve to the lexicographic minimum of their component
+    pairs = spark.createDataFrame(
+        [("url/b", "url/a"), ("url/a", "url/c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    from textsearch_spark.operators.dedup import duplicate_clusters
+
+    got = {r.doc_id: r.cluster_id
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {"url/a": "url/a", "url/b": "url/a", "url/c": "url/a",
+                   "x": "x", "y": "x"}
+
+
 def test_composes_with_simhash_pairs(spark):
     # the resolver is pair-source agnostic: feed it SimHash banding
     # pairs (hamming col is just ignored) and collapse the corpus

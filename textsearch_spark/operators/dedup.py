@@ -261,8 +261,11 @@ def duplicate_clusters(pairs: DataFrame, *, a_col: str = "doc_a",
     fixpoint (cannot happen for connected inputs under the published
     bound; the guard turns a logic regression into a loud error, not
     an infinite job)."""
-    raw = pairs.select(F.col(a_col).cast("long").alias("u"),
-                       F.col(b_col).cast("long").alias("v"))
+    # id-type generic like the rest of the dedup family: the algorithm
+    # needs only the column's natural total order (min/least), so
+    # string doc ids cluster to their lexicographic minimum — no cast
+    # that could silently null non-numeric ids
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     # nodes BEFORE the self-loop filter: the contract covers every doc
     # appearing in ``pairs``, and a degenerate (d, d) input row still
     # names d (it becomes its own singleton cluster)
