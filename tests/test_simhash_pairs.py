@@ -83,3 +83,19 @@ def test_bounds(spark):
         simhash_near_dup_pairs(df, bits=16, max_hamming=16)
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_near_dup_pairs(df, bits=16, max_hamming=-1)
+    # bit 63 is the long sign bit — simhash must refuse, not sign-wrap
+    with pytest.raises(ValueError, match="bits"):
+        simhash(df, bits=64)
+    with pytest.raises(ValueError, match="bits"):
+        simhash(df, bits=0)
+
+
+def test_wide_hash_32_bits(spark):
+    # the widest band geometry the bench uses: 32-bit hashes, 11/11/10
+    # bands — differential vs brute force like the 16-bit cases
+    df = _corpus(spark, TEXTS)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(df, bits=32, max_hamming=2).collect()
+    }
+    assert got == _brute(spark, df, 32, 2)

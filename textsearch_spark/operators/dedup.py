@@ -205,6 +205,11 @@ def simhash(df: DataFrame, bits: int = 16, *, doc_col: str = "doc_id",
     """(doc_id, simhash) — ``bits``-bit SimHash over whitespace tokens,
     tf-weighted. Bit k comes from nibble k//4 of the token's md5 hex
     (portable across engines)."""
+    if not 1 <= bits <= 62:
+        # bit 63 is the long sign bit: the 1<<k weight overflows and
+        # every downstream shiftright (arithmetic in Spark SQL) would
+        # sign-extend — fail loudly instead of hashing wrong
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
     toks = (
         df.select(F.col(doc_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .groupBy(doc_col, "w").agg(F.count("*").alias("tf"))
@@ -260,7 +265,14 @@ def duplicate_clusters(pairs: DataFrame, *, a_col: str = "doc_a",
     Raises RuntimeError if ``max_iter`` rounds do not reach the
     fixpoint (cannot happen for connected inputs under the published
     bound; the guard turns a logic regression into a loud error, not
-    an infinite job)."""
+    an infinite job).
+
+    ``pairs`` is evaluated more than once (the edge set is frozen for
+    the loop, but the output's node relation re-reads it) — the same
+    contract as the ``shingles`` relation in the MinHash family: a
+    NON-deterministic pairs source (sample(), unordered limit())
+    must be persisted/materialized by the caller first, or the output
+    may cover a different node set than the one clustered."""
     # id-type generic like the rest of the dedup family: the algorithm
     # needs only the column's natural total order (min/least), so
     # string doc ids cluster to their lexicographic minimum — no cast
@@ -394,7 +406,9 @@ def simhash_near_dup_pairs(df: DataFrame, *, bits: int = 16, max_hamming: int = 
 
     ``simhashes=``: optional pre-computed :func:`simhash` output
     (must be the same ``bits``), same no-internal-cache contract as
-    the other detectors."""
+    the other detectors — also the scale path: the band self-join
+    otherwise evaluates the 3-shuffle simhash pipeline once per join
+    side."""
     if not 0 <= max_hamming < bits:
         raise ValueError(f"max_hamming must be in [0, bits), got {max_hamming}")
     sh = simhashes if simhashes is not None else simhash(
