@@ -821,6 +821,56 @@ def q_embedding_ivf_topk_trained(spark, sf_dir):
     return res.select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos4"))
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode with the deterministic md5-sampled
+    codebooks (4 subspaces x 16 codewords over the 64-dim embeddings),
+    long form (vec_id, s, code). The oracle replays normalization, seed
+    selection (16 smallest md5(vec_id), codeword index = rank by
+    vec_id), subspace slicing, and the argmin-L2 / ties->smallest-code
+    rule in SQL."""
+    from textsearch_spark.operators import pq as pqm
+
+    emb = _emb(spark, sf_dir)
+    cb = pqm.sampled_pq_codebooks(emb, 4, 16)
+    codes = pqm.pq_encode(emb, cb)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    ).select("vec_id", "s", F.col("code").cast("int").alias("code"))
+
+
+def q_pq_adc_topk(spark, sf_dir):
+    """Asymmetric-distance top-5 over the sampled-codebook PQ codes
+    (queries vec_id < 8, self excluded). The oracle recomputes every
+    ADC score as sum_s dot(normalized-query subvector, assigned
+    codeword) and the (score desc, id asc) rank in SQL."""
+    from textsearch_spark.operators import pq as pqm
+
+    emb = _emb(spark, sf_dir)
+    cb = pqm.sampled_pq_codebooks(emb, 4, 16)
+    res = pqm.pq_adc_topk(emb, list(range(8)), k=5, codebooks=cb)
+    return res.select("query_id", "rank", "neighbor_id",
+                      F.round("score", 4).alias("adc4"))
+
+
+def q_embedding_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ with TRAINED coarse quantizer and PQ codebooks + exact
+    rerank — the full compressed-candidate retrieval stack. No
+    oracle_sql entry: iterative float k-means is not SQL-expressible
+    (the driver records the weaker rows-only check); the encode/ADC
+    differentials, ivf==adc-at-full-probe identity, and recall >= 0.9
+    are pinned by tests/test_pq.py instead."""
+    from textsearch_spark.operators import pq as pqm
+    from textsearch_spark.operators.simsearch import train_ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb, 16, n_iter=3)
+    cb = pqm.train_pq_codebooks(emb, 4, 16, n_iter=3)
+    res = pqm.ivf_pq_topk(emb, list(range(8)), k=5, centroids=cents,
+                          codebooks=cb, nprobe=4, rerank=20)
+    return res.select("query_id", "rank", "neighbor_id",
+                      F.round("score", 4).alias("cos4"))
+
+
 def q_bm25_topk_appended(spark, sf_dir):
     """append_items! semantics end-to-end: fit+save an index on the
     first half of the corpus, APPEND the second half with frozen
@@ -1049,8 +1099,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk_mp": q_embedding_lsh_topk_mp,
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dup": q_simhash_near_dup,
+        "pq_codes": q_pq_codes,
+        "pq_adc_topk": q_pq_adc_topk,
         # ---- rows-only entries (no SQL oracle) stay last
         "embedding_ivf_topk_trained": q_embedding_ivf_topk_trained,
+        "embedding_ivfpq_topk": q_embedding_ivfpq_topk,
     }
 
 
@@ -1063,6 +1116,43 @@ _VOC = (
     f"FROM ({_BOW}) GROUP BY token"
 )
 _DL = f"SELECT doc_id, sum(tf)::BIGINT AS doclen FROM ({_BOW}) GROUP BY doc_id"
+
+# PQ shared prefix: normalized vectors, md5-sampled seeds (codeword
+# index = rank by vec_id among the 16 seeds — _sampled_centroids sorts
+# its sample by id), codeword subvectors with their half-squared
+# norms, and the per-(vector, subspace) assignment. Geometry is pinned
+# to the 64-dim embeddings table: 4 subspaces x 16 dims x 16 codewords.
+_PQ_CTE = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nemb AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+              ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+         END AS nv
+  FROM emb
+),
+seedids AS (SELECT vec_id FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+seeds AS (SELECT vec_id AS sid,
+                 row_number() OVER (ORDER BY vec_id) - 1 AS code
+          FROM seedids),
+cw AS (
+  SELECT se.code, g.s, n.nv[g.s*16+1:(g.s+1)*16] AS w,
+         0.5 * list_dot_product(n.nv[g.s*16+1:(g.s+1)*16],
+                                n.nv[g.s*16+1:(g.s+1)*16]) AS hsq
+  FROM seeds se
+  JOIN nemb n ON n.vec_id = se.sid
+  CROSS JOIN (SELECT unnest(range(4)) AS s) g
+),
+assign AS (
+  SELECT vec_id, s, code FROM (
+    SELECT n.vec_id, c.s, c.code,
+           row_number() OVER (PARTITION BY n.vec_id, c.s
+             ORDER BY (list_dot_product(n.nv[c.s*16+1:(c.s+1)*16], c.w)
+                       - c.hsq) DESC, c.code ASC) AS rn
+    FROM nemb n CROSS JOIN cw c
+  ) WHERE rn = 1
+)"""
 _POS = (
     "SELECT doc_id, generate_subscripts(string_split(text,' '),1) AS pos, "
     "unnest(string_split(text,' ')) AS token FROM documents"
@@ -1985,6 +2075,34 @@ maxent AS (SELECT log2(count(DISTINCT label)) AS m FROM lab)
 SELECT v.token, v.occs, v.ndocs,
        round(1.0 - e.h / (SELECT m FROM maxent), 4) AS gweight4
 FROM voc v JOIN ent e USING (token)
+""",
+        # PQ encode: codebooks = subvectors (4 subspaces x 16 dims) of
+        # the L2-normalized seed rows (16 smallest md5(vec_id);
+        # codeword index = rank by vec_id among seeds); assignment =
+        # argmin L2 == argmax(dot - |w|^2/2), ties -> smallest code
+        "pq_codes": _PQ_CTE + """
+SELECT vec_id, s, code FROM assign
+""",
+        # ADC top-5: score(q, d) = sum_s dot(normalized-query
+        # subvector s, codeword assigned to d in subspace s); rank by
+        # (score desc, id asc), self excluded
+        "pq_adc_topk": _PQ_CTE + """,
+qv AS (SELECT vec_id AS query_id, nv FROM nemb WHERE vec_id < 8),
+sc AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         sum(list_dot_product(q.nv[a.s*16+1:(a.s+1)*16], c.w)) AS adc
+  FROM qv q
+  CROSS JOIN assign a
+  JOIN cw c ON c.s = a.s AND c.code = a.code
+  WHERE a.vec_id <> q.query_id
+  GROUP BY q.query_id, a.vec_id
+)
+SELECT query_id, rank, neighbor_id, round(adc, 4) AS adc4 FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY adc DESC, neighbor_id ASC) AS rank
+  FROM sc
+) WHERE rank <= 5
 """,
     }
 
