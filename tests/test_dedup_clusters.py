@@ -167,7 +167,15 @@ def test_composes_with_simhash_pairs(spark):
 
 
 def test_no_leaked_persisted_frames(spark):
-    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persisted_ids():
+        return {int(k) for k in
+                spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+    # track the SET of rdd ids created by this test, not a total count:
+    # in full-suite runs the ContextCleaner may free an UNRELATED
+    # earlier relation during the wait below, which moves a count-based
+    # baseline and fails the test for shrinkage that is not ours.
+    base_ids = persisted_ids()
     df = duplicate_clusters(_pairs_df(spark, [(1, 2), (2, 3), (8, 9)]))
     rows = df.collect()
     assert len(rows) == 5
@@ -176,16 +184,22 @@ def test_no_leaked_persisted_frames(spark):
     # intermediate rounds' checkpoint blocks are RDD-level storage the
     # operator cannot unpersist through the DataFrame API; they are
     # freed by the ContextCleaner once driver GC drops their refs.
-    # Force that path and verify everything except the single live
-    # final-round leaf (backing `df`) actually drains.
+    # While `df` is alive its final-round leaf is legitimately
+    # retained, and dead-round blocks drain on GC with NONDETERMINISTIC
+    # latency (py4j finalizer queue + ContextCleaner cadence — observed
+    # > 30 s under full-suite load), so the sharp, reliably-testable
+    # invariant is: once the caller drops the result, EVERYTHING this
+    # operator persisted drains. A genuinely leaked internal frame
+    # (the r03 bug class) would survive this forever.
     import gc
     import time
 
-    deadline = time.time() + 30
-    while time.time() < deadline:
+    del df
+    deadline = time.time() + 90
+    leaked = persisted_ids() - base_ids
+    while leaked and time.time() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        if spark.sparkContext._jsc.getPersistentRDDs().size() <= base + 1:
-            break
-        time.sleep(1)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= base + 1
+        time.sleep(0.5)
+        leaked = persisted_ids() - base_ids
+    assert not leaked, f"leaked checkpoint RDDs: {sorted(leaked)}"

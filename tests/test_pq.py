@@ -246,6 +246,144 @@ def test_precomputed_artifacts_identical(emb, tmp_path):
     assigned_codes.unpersist()
 
 
+def _replay_residual(mat, cents):
+    """Replay residual encoding's reference frame: coarse assignment on
+    RAW vectors (argmin L2 == argmax(dot - |c|^2/2)), residual =
+    normalized vector minus NORMALIZED centroid."""
+    c = np.asarray(cents, dtype=np.float64)
+    csq = 0.5 * (c * c).sum(axis=1)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-300)
+    cids = np.argmax(mat @ c.T - csq[None, :], axis=1)
+    return _norm_rows(mat) - cn[cids], cids, cn
+
+
+def test_residual_encode_differential(emb):
+    df, mat = emb
+    cents = train_ivf_centroids(df, 8, n_iter=2)
+    cb = pq.train_pq_codebooks(df, M, K, n_iter=2, coarse_centroids=cents)
+    res, cids, _ = _replay_residual(mat, cents)
+    want = _replay_codes_raw(res, cb)
+    got = {r.vec_id: (r.centroid_id, list(r.codes))
+           for r in pq.pq_encode(df, cb, coarse_centroids=cents).collect()}
+    assert len(got) == N
+    for i in range(N):
+        assert got[i][0] == cids[i], f"row {i} coarse id"
+        assert got[i][1] == list(want[i]), f"row {i} codes"
+
+
+def _replay_codes_raw(x, cb):
+    """Assignment replay WITHOUT normalization (x already in the space
+    the codebooks quantize — residuals here)."""
+    m, k, dsub = cb.shape
+    out = np.empty((len(x), m), dtype=np.int64)
+    for s in range(m):
+        sub = x[:, s * dsub:(s + 1) * dsub]
+        d = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+        out[:, s] = np.argmin(d, axis=1)
+    return out
+
+
+def test_residual_scoring_differential(emb):
+    """ivf_pq_topk(residual=True) == numpy replay: score = dot(qn,
+    cn[list]) + sum_s LUT gathers over the residual codes, rank by
+    (score desc, id asc), restricted to the probed lists."""
+    df, mat = emb
+    cents = train_ivf_centroids(df, 8, n_iter=2)
+    cb = pq.train_pq_codebooks(df, M, K, n_iter=2, coarse_centroids=cents)
+    res, cids, cn = _replay_residual(mat, cents)
+    codes = _replay_codes_raw(res, cb)
+    q_rows = [4, 17, 29]
+    nprobe = 3
+    got = {}
+    for r in pq.ivf_pq_topk(df, q_rows, k=5, centroids=cents, codebooks=cb,
+                            nprobe=nprobe, residual=True).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.score))
+    c = np.asarray(cents, dtype=np.float64)
+    csq = 0.5 * (c * c).sum(axis=1)
+    xn = _norm_rows(mat)
+    dsub = DIM // M
+    for q in q_rows:
+        cscores = c @ mat[q] - csq
+        probed = set(np.lexsort((np.arange(len(c)), -cscores))[:nprobe])
+        luts = np.stack([cb[s] @ xn[q, s * dsub:(s + 1) * dsub]
+                         for s in range(M)])
+        cand = [i for i in range(N) if cids[i] in probed and i != q]
+        scores = np.array([
+            float(xn[q] @ cn[cids[i]])
+            + sum(luts[s][codes[i, s]] for s in range(M))
+            for i in cand])
+        order = np.lexsort((np.array(cand), -scores))[:5]
+        want = [(int(np.array(cand)[j]), scores[j]) for j in order]
+        rows = sorted(got[q])
+        assert [n for _, n, _ in rows] == [n for n, _ in want], f"q{q}"
+        for (_, _, s), (_, ws) in zip(rows, want):
+            assert s == pytest.approx(ws, abs=1e-9), f"q{q} score"
+
+
+@pytest.fixture(scope="module")
+def emb_tight(spark):
+    """Bench-shaped corpus for the residual-vs-flat comparison: 16
+    TIGHT unit-centroid clusters (sigma=0.05, 64-dim) — the regime
+    where flat codebooks spend their resolution on inter-cluster
+    structure and collapse inside the lists IVF probes."""
+    rng = np.random.default_rng(11)
+    cents0 = rng.normal(size=(16, 64))
+    cents0 /= np.linalg.norm(cents0, axis=1, keepdims=True)
+    mat = np.array([
+        cents0[i % 16] + 0.05 * np.random.default_rng(i + 55).normal(size=64)
+        for i in range(2000)
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(2000)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    df.count()
+    return df, mat
+
+
+def test_residual_beats_flat_on_clustered(emb_tight):
+    """Why residual mode exists. On tight clusters, residual codebooks
+    must (a) roughly halve quantization distortion (measured 0.54x;
+    the residuals of this corpus are iid noise — PQ's rate-distortion
+    worst case — so a 2x gain is the honest ceiling here, not the
+    10x+ a low-intrinsic-dimension real corpus shows), and (b) beat
+    flat recall both raw and under exact rerank."""
+    df, _ = emb_tight
+    cents = train_ivf_centroids(df, 32, n_iter=3)
+    cb_flat = pq.train_pq_codebooks(df, 8, 64, n_iter=3)
+    cb_res = pq.train_pq_codebooks(df, 8, 64, n_iter=3,
+                                   coarse_centroids=cents)
+    d_flat = pq.pq_distortion(df, cb_flat)
+    d_res = pq.pq_distortion(df, cb_res, coarse_centroids=cents)
+    assert d_res < 0.7 * d_flat, f"residual distortion {d_res} vs flat {d_flat}"
+
+    q_rows = list(range(0, 120, 3))
+    brute = {}
+    for r in cosine_topk(df, q_rows, k=10).collect():
+        brute.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(res):
+        hits = total = 0
+        for r in res.collect():
+            total += 1
+            hits += r.neighbor_id in brute[r.query_id]
+        return hits / total
+
+    r_flat = recall(pq.ivf_pq_topk(df, q_rows, k=10, centroids=cents,
+                                   codebooks=cb_flat, nprobe=6))
+    r_res = recall(pq.ivf_pq_topk(df, q_rows, k=10, centroids=cents,
+                                  codebooks=cb_res, nprobe=6, residual=True))
+    assert r_res >= r_flat + 0.03, f"raw ADC: residual {r_res} vs flat {r_flat}"
+    r_flat_rr = recall(pq.ivf_pq_topk(df, q_rows, k=10, centroids=cents,
+                                      codebooks=cb_flat, nprobe=6, rerank=48))
+    r_res_rr = recall(pq.ivf_pq_topk(df, q_rows, k=10, centroids=cents,
+                                     codebooks=cb_res, nprobe=6,
+                                     residual=True, rerank=48))
+    assert r_res_rr >= r_flat_rr + 0.05, (
+        f"rerank: residual {r_res_rr} vs flat {r_flat_rr}")
+    assert r_res_rr >= 0.7, f"residual+rerank recall {r_res_rr}"
+
+
 def test_missing_queries_empty(emb):
     df, _ = emb
     cb = pq.sampled_pq_codebooks(df, M, K)

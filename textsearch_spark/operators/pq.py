@@ -33,9 +33,12 @@ Pieces (composable, mirroring the IVF lifecycle):
   retrieval at scale).
 - ``ivf_pq_topk``: IVF candidate restriction + ADC scoring — scan
   ``nprobe/n_centroids`` of the table AND touch only codes while doing
-  it. Codes quantize the normalized vectors directly (the faiss
-  ``by_residual=false`` variant); exact ``rerank`` recovers the recall
-  a residual codec would buy, without a per-(query, list) LUT.
+  it. ``residual=True`` quantizes ``xn - cn[list]`` (faiss
+  ``by_residual=true``) — required on clustered corpora, where flat
+  codes collapse inside exactly the lists IVF probes; the additive
+  decomposition keeps the LUT per-QUERY (each probed (query, list)
+  pair adds one scalar), so residual costs one float per pair, not a
+  per-(query, list) LUT.
 
 Metric: ALL PQ ops operate on L2-normalized vectors, so ADC
 approximates cosine — consistent with the rest of the family
@@ -116,12 +119,30 @@ def _assign_codes(x_norm: np.ndarray, codebooks: np.ndarray,
     return out
 
 
+def _coarse_parts(coarse_centroids) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(raw matrix, 0.5|c|^2, row-normalized matrix) for residual mode.
+    Coarse assignment runs on RAW vectors with the raw centroids (the
+    ``ivf_assign`` rule); the residual reference point is the
+    NORMALIZED centroid, so residuals live in the same unit-sphere
+    space as the quantized vectors."""
+    c_mat = np.asarray(coarse_centroids, dtype=np.float64)
+    c_sq = 0.5 * np.einsum("ij,ij->i", c_mat, c_mat)
+    return c_mat, c_sq, _normalize_rows(c_mat)
+
+
+def _residualize(x_raw: np.ndarray, x_norm: np.ndarray, c_mat, c_sq, c_norm):
+    """(residual matrix, coarse assignment) — r = xn - cn[assign(x)]."""
+    cids = np.argmax(x_raw @ c_mat.T - c_sq, axis=1)
+    return x_norm - c_norm[cids], cids
+
+
 def train_pq_codebooks(
     embeddings: DataFrame,
     m: int = 8,
     n_codewords: int = 256,
     *,
     n_iter: int = 5,
+    coarse_centroids=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
@@ -133,21 +154,42 @@ def train_pq_codebooks(
     so the driver folds n_partitions x m x n_codewords tiny rows.
     Empty codes keep their previous codeword (same convention as
     ``train_ivf_centroids``). Train on a sample table at 100 TB;
-    persist the result with ``save_pq_codebooks``."""
+    persist the result with ``save_pq_codebooks``.
+
+    ``coarse_centroids=`` switches to RESIDUAL training (faiss
+    ``by_residual=true``): codebooks quantize ``xn - cn[assign(x)]``
+    (normalized vector minus its normalized coarse centroid). On
+    clustered data this is the difference between working and not:
+    flat codebooks resolve at inter-cluster scale, so every member of
+    a tight cluster gets near-identical codes and ADC cannot rank
+    inside the very lists IVF probes (measured recall@10 0.19 on the
+    32-cluster bench corpus vs 0.97+ residual). Use the SAME centroid
+    matrix for ``pq_encode`` and ``ivf_pq_topk``."""
     spark = embeddings.sparkSession
     cb = sampled_pq_codebooks(embeddings, m, n_codewords,
                               id_col=id_col, vec_col=vec_col)
     mm, kk, dsub = cb.shape
+    res_parts = (_coarse_parts(coarse_centroids)
+                 if coarse_centroids is not None else None)
+    if res_parts is not None:
+        # seed in residual space too: residualize the sampled seeds
+        # (keeps iteration 0 from starting at inter-cluster scale)
+        _, seed_raw = _sampled_centroids(embeddings, kk, id_col, vec_col)
+        r0, _ = _residualize(seed_raw, _normalize_rows(seed_raw), *res_parts)
+        cb = np.stack([r0[:, s * dsub:(s + 1) * dsub] for s in range(mm)])
     for _ in range(n_iter):
         halfsq = _codebook_halfsq(cb)
-        bc = spark.sparkContext.broadcast((cb, halfsq))
+        bc = spark.sparkContext.broadcast((cb, halfsq, res_parts))
 
         def partials(batches):
-            cbv, hs = bc.value
+            cbv, hs, rp = bc.value
             sums = np.zeros((mm, kk, dsub))
             counts = np.zeros((mm, kk), dtype=np.int64)
             for pdf in batches:
-                x = _normalize_rows(_to_matrix(pdf[vec_col]))
+                raw = _to_matrix(pdf[vec_col])
+                x = _normalize_rows(raw)
+                if rp is not None:
+                    x, _ = _residualize(raw, x, *rp)
                 codes = _assign_codes(x, cbv, hs)
                 for s in range(mm):
                     np.add.at(sums[s], codes[:, s],
@@ -207,6 +249,7 @@ def pq_encode(
     embeddings: DataFrame,
     codebooks,
     *,
+    coarse_centroids=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -214,22 +257,39 @@ def pq_encode(
     quantized per subspace to its nearest codeword (argmin L2, ties ->
     smallest code). Run once per index lifetime and persist; this is
     the corpus-wide pass that replaces vector storage on the query
-    path."""
+    path.
+
+    ``coarse_centroids=`` switches to RESIDUAL codes (quantize
+    ``xn - cn[assign(x)]``; the codebooks must have been trained with
+    the same matrix) and the output gains the ``centroid_id`` column —
+    the coarse assignment is computed in the same kernel pass, so the
+    result IS the ``assigned_codes`` table ``ivf_pq_topk`` wants, with
+    no separate ``ivf_assign`` join."""
     spark = embeddings.sparkSession
     cb = np.asarray(codebooks, dtype=np.float64)
     halfsq = _codebook_halfsq(cb)
-    bc = spark.sparkContext.broadcast((cb, halfsq))
-    out_schema = f"{id_col} long, codes array<smallint>"
+    res_parts = (_coarse_parts(coarse_centroids)
+                 if coarse_centroids is not None else None)
+    bc = spark.sparkContext.broadcast((cb, halfsq, res_parts))
+    if res_parts is None:
+        out_schema = f"{id_col} long, codes array<smallint>"
+    else:
+        out_schema = f"centroid_id long, {id_col} long, codes array<smallint>"
 
     def encode(batches):
-        cbv, hs = bc.value
+        cbv, hs, rp = bc.value
         for pdf in batches:
-            x = _normalize_rows(_to_matrix(pdf[vec_col]))
+            raw = _to_matrix(pdf[vec_col])
+            x = _normalize_rows(raw)
+            cids = None
+            if rp is not None:
+                x, cids = _residualize(raw, x, *rp)
             codes = _assign_codes(x, cbv, hs).astype(np.int16)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                "codes": list(codes),
-            })
+            out = {id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                   "codes": list(codes)}
+            if cids is not None:
+                out = {"centroid_id": cids.astype(np.int64), **out}
+            yield pd.DataFrame(out)
 
     return embeddings.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
@@ -238,23 +298,31 @@ def pq_distortion(
     embeddings: DataFrame,
     codebooks,
     *,
+    coarse_centroids=None,
     vec_col: str = "embedding",
 ) -> float:
     """Mean squared quantization error over the (normalized) corpus —
     the training observable (Lloyd is monotone non-increasing in it)
-    and the codebook-quality diagnostic. One distributed pass emitting
-    a (count, error-sum) partial per partition."""
+    and the codebook-quality diagnostic; in residual mode
+    (``coarse_centroids=``) the error is measured against the
+    residuals the codebooks actually quantize. One distributed pass
+    emitting a (count, error-sum) partial per partition."""
     spark = embeddings.sparkSession
     cb = np.asarray(codebooks, dtype=np.float64)
     halfsq = _codebook_halfsq(cb)
     m, _, dsub = cb.shape
-    bc = spark.sparkContext.broadcast((cb, halfsq))
+    res_parts = (_coarse_parts(coarse_centroids)
+                 if coarse_centroids is not None else None)
+    bc = spark.sparkContext.broadcast((cb, halfsq, res_parts))
 
     def partials(batches):
-        cbv, hs = bc.value
+        cbv, hs, rp = bc.value
         n, err = 0, 0.0
         for pdf in batches:
-            x = _normalize_rows(_to_matrix(pdf[vec_col]))
+            raw = _to_matrix(pdf[vec_col])
+            x = _normalize_rows(raw)
+            if rp is not None:
+                x, _ = _residualize(raw, x, *rp)
             codes = _assign_codes(x, cbv, hs)
             recon = np.concatenate(
                 [cbv[s][codes[:, s]] for s in range(m)], axis=1)
@@ -430,6 +498,7 @@ def ivf_pq_topk(
     codebooks,
     nprobe: int = 4,
     assigned_codes: "DataFrame | None" = None,
+    residual: bool = False,
     rerank: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -441,36 +510,51 @@ def ivf_pq_topk(
     ``centroids`` is the coarse quantizer matrix (``train_ivf_centroids``
     or ``_sampled_centroids`` — pass the matrix, not a count);
     ``assigned_codes=`` takes a persisted (centroid_id, id, codes)
-    table — ``ivf_assign`` joined with ``pq_encode`` — so BOTH
-    corpus-wide passes run once per index lifetime. Codes quantize the
-    normalized vectors directly (faiss ``by_residual=false``); use
-    ``rerank`` for the recall a residual codec would buy.
+    table — residual ``pq_encode`` output directly, or ``ivf_assign``
+    joined with flat ``pq_encode`` — so the corpus-wide passes run once
+    per index lifetime.
 
-    With ``nprobe >= n_centroids`` the candidate set is the whole
-    corpus and results are identical to ``pq_adc_topk`` (pinned by
-    tests/test_pq.py)."""
+    ``residual=True`` (faiss ``by_residual=true``; requires codebooks
+    trained with ``coarse_centroids=`` the SAME matrix): codes quantize
+    ``xn - cn[list]``, and since dot(qn, xn) = dot(qn, cn[list]) +
+    sum_s dot(qn_sub, r_sub), scoring just adds ONE per-(query, list)
+    scalar to the same gather-sum — the LUT tensor is unchanged and
+    still per-query. Use residual on clustered corpora: flat codes
+    collapse inside tight clusters (see ``train_pq_codebooks``).
+
+    With ``residual=False`` and ``nprobe >= n_centroids`` the candidate
+    set is the whole corpus and results are identical to
+    ``pq_adc_topk`` (pinned by tests/test_pq.py)."""
     spark = embeddings.sparkSession
     cb = np.asarray(codebooks, dtype=np.float64)
     c_mat = np.asarray(centroids, dtype=np.float64)
     c_ids = np.arange(len(c_mat), dtype=np.int64)
     c_sq = 0.5 * np.einsum("ij,ij->i", c_mat, c_mat)
+    c_norm = _normalize_rows(c_mat)
     q_ids, q_mat, q_raw = _collect_queries(embeddings, query_ids, id_col, vec_col)
     if q_mat is None:
         return _empty_result(spark)
     if assigned_codes is None:
-        from .simsearch import ivf_assign
+        if residual:
+            assigned_codes = pq_encode(embeddings, cb, coarse_centroids=c_mat,
+                                       id_col=id_col, vec_col=vec_col)
+        else:
+            from .simsearch import ivf_assign
 
-        assigned = ivf_assign(embeddings, len(c_mat), centroids=c_mat,
-                              id_col=id_col, vec_col=vec_col)
-        assigned_codes = assigned.select("centroid_id", id_col).join(
-            pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col), id_col
-        ).select("centroid_id", id_col, "codes")
+            assigned = ivf_assign(embeddings, len(c_mat), centroids=c_mat,
+                                  id_col=id_col, vec_col=vec_col)
+            assigned_codes = assigned.select("centroid_id", id_col).join(
+                pq_encode(embeddings, cb, id_col=id_col, vec_col=vec_col),
+                id_col
+            ).select("centroid_id", id_col, "codes")
 
     # probe selection on the RAW query vector (the coarse quantizer was
     # trained on raw vectors — same rule as ivf_cosine_topk); LUTs on
     # the normalized one (the PQ metric). Each query's LUT is stored
     # once; per-list membership is a row-index array (the
-    # _query_broadcast packing, with LUTs in place of vectors).
+    # _query_broadcast packing, with LUTs in place of vectors). In
+    # residual mode each probed (list, query) pair additionally carries
+    # its dot(qn, cn[list]) offset — one float per pair.
     luts = _query_luts(q_mat, cb)  # (m, K, n_q), col qi == q_ids[qi]
     probes: dict[int, list[int]] = {}
     for qi in range(len(q_ids)):
@@ -480,7 +564,11 @@ def ivf_pq_topk(
             probes.setdefault(int(cid), []).append(qi)
     key_rows = {cid: np.asarray(rows, dtype=np.int64)
                 for cid, rows in probes.items()}
-    bc = spark.sparkContext.broadcast((q_ids, luts, key_rows))
+    key_consts = None
+    if residual:
+        key_consts = {cid: q_mat[rows] @ c_norm[cid]
+                      for cid, rows in key_rows.items()}
+    bc = spark.sparkContext.broadcast((q_ids, luts, key_rows, key_consts))
     probed = spark.createDataFrame(
         [(cid,) for cid in sorted(probes)], "centroid_id long")
     keep = max(k, rerank)
@@ -494,13 +582,16 @@ def ivf_pq_topk(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return empty
-        ids_arr, lut, krows = bc.value
-        rows = krows.get(pdf["centroid_id"].iloc[0])
+        ids_arr, lut, krows, kconsts = bc.value
+        cid = pdf["centroid_id"].iloc[0]
+        rows = krows.get(cid)
         if rows is None:
             return empty
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         codes_mat = np.array(pdf["codes"].tolist(), dtype=np.int64)
         scores = _adc_scores(codes_mat, lut[:, :, rows])
+        if kconsts is not None:
+            scores = scores + kconsts[cid][None, :]
         out_q, out_i, out_s = [], [], []
         for j, qi in enumerate(rows):
             mask = ids != ids_arr[qi]

@@ -21,8 +21,10 @@ of the Spark/Arrow worker pool):
 - embedding ANN over ``PIPE_VECS`` (default 200k) 64-dim clustered
   vectors: brute-force ``cosine_topk`` (the exact baseline),
   ``lsh_cosine_topk`` (single-probe and ``multiprobe=2``) and
-  pre-assigned trained-quantizer ``ivf_cosine_topk`` (the scale
-  paths) for a ``PIPE_QUERIES``
+  pre-assigned trained-quantizer ``ivf_cosine_topk``, and
+  ``ivf_pq_topk`` (trained PQ codebooks + exact rerank — the
+  compressed-candidate scale path, 8-byte codes vs 256-byte vectors
+  on the scan) for a ``PIPE_QUERIES``
   (default 256) query batch — qps each, plus recall@k vs brute force
   AND the mean scanned fraction (share of the corpus each query
   actually scores). The scanned fraction is the number that predicts
@@ -250,6 +252,37 @@ def main():
         ivf_cosine_topk(emb, qids, k=10, nprobe=nprobe, centroids=cents,
                         assigned=assigned))
 
+    # IVF-PQ (residual codes + exact rerank): same probed lists, but
+    # the scan touches pq_m-byte codes instead of 256-byte float
+    # vectors; exact rerank on the ADC top-PIPE_PQ_RERANK bounds the
+    # float fetch to that many rows/query. The encode (which computes
+    # the coarse assignment in the same kernel pass) is a
+    # once-per-index-lifetime pass, untimed. Recall caveat recorded
+    # honestly: this corpus's residuals are iid noise — PQ's
+    # rate-distortion worst case (real embedding corpora have low
+    # local intrinsic dimension and quantize far better).
+    from textsearch_spark.operators.pq import ivf_pq_topk, pq_encode, train_pq_codebooks
+
+    pq_m = int(os.environ.get("PIPE_PQ_M", "16"))
+    pq_rerank = int(os.environ.get("PIPE_PQ_RERANK", "128"))
+    cb = train_pq_codebooks(emb, pq_m, 256, n_iter=3, coarse_centroids=cents)
+    assigned_codes = pq_encode(emb, cb, coarse_centroids=cents).cache()
+    assigned_codes.count()
+    meta["pq_m"] = pq_m
+    meta["pq_rerank"] = pq_rerank
+    meta["pq_code_bytes_per_row"] = pq_m
+    meta["pq_compression_vs_f32"] = round(dim * 4 / pq_m, 1)
+    dt, _ = _timed(
+        lambda: ivf_pq_topk(emb, qids, k=10, centroids=cents, codebooks=cb,
+                            nprobe=nprobe, assigned_codes=assigned_codes,
+                            residual=True, rerank=pq_rerank).count(),
+        reps)
+    timings["ann_ivfpq"] = round(dt, 3)
+    meta["ivfpq_recall_at_10"] = recall(
+        ivf_pq_topk(emb, qids, k=10, centroids=cents, codebooks=cb,
+                    nprobe=nprobe, assigned_codes=assigned_codes,
+                    residual=True, rerank=pq_rerank))
+
     # IVF scanned fraction: probed-list sizes, same lexsort probe rule
     # as ivf_cosine_topk (nprobe nearest centroids by the L2 score)
     lsizes = {
@@ -270,9 +303,12 @@ def main():
         "ann_lsh": round(lsh_frac, 4),
         "ann_lsh_mp2": round(lsh_mp2_frac, 4),
         "ann_ivf_trained": round(float(np.mean(fracs)), 4),
+        # same probed rows as ivf, but codes-only bytes on the scan
+        "ann_ivfpq": round(float(np.mean(fracs)), 4),
     }
 
-    for leg in ("ann_brute", "ann_lsh", "ann_lsh_mp2", "ann_ivf_trained"):
+    for leg in ("ann_brute", "ann_lsh", "ann_lsh_mp2", "ann_ivf_trained",
+                "ann_ivfpq"):
         meta.setdefault("ann_qps", {})[leg] = round(len(qids) / timings[leg], 1)
 
     out = {
