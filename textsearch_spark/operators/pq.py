@@ -186,6 +186,8 @@ def train_pq_codebooks(
             sums = np.zeros((mm, kk, dsub))
             counts = np.zeros((mm, kk), dtype=np.int64)
             for pdf in batches:
+                if pdf.empty:
+                    continue
                 raw = _to_matrix(pdf[vec_col])
                 x = _normalize_rows(raw)
                 if rp is not None:
@@ -279,6 +281,8 @@ def pq_encode(
     def encode(batches):
         cbv, hs, rp = bc.value
         for pdf in batches:
+            if pdf.empty:
+                continue
             raw = _to_matrix(pdf[vec_col])
             x = _normalize_rows(raw)
             cids = None
@@ -319,6 +323,8 @@ def pq_distortion(
         cbv, hs, rp = bc.value
         n, err = 0, 0.0
         for pdf in batches:
+            if pdf.empty:
+                continue
             raw = _to_matrix(pdf[vec_col])
             x = _normalize_rows(raw)
             if rp is not None:
@@ -407,9 +413,12 @@ def _exact_rerank(embeddings, cand: DataFrame, q_ids, q_mat, k,
             "score": sims,
         })
 
-    joined = cand.join(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), vec_col),
-        "neighbor_id")
+    # candidates are bounded (<= keep rows/query): broadcast them so
+    # the corpus-side vector fetch is a broadcast-hash probe, never a
+    # corpus shuffle
+    joined = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), vec_col
+    ).join(F.broadcast(cand), "neighbor_id")
     rescored = joined.groupBy("query_id").applyInPandas(
         lambda pdf: rescore(pdf), "query_id long, neighbor_id long, score double")
     w = Window.partitionBy("query_id").orderBy(
