@@ -393,6 +393,33 @@ def test_missing_queries_empty(emb):
                           codebooks=cb, nprobe=2).count() == 0
 
 
+def test_rerank_vector_fetch_is_broadcast(emb):
+    """The exact-rerank join must probe the corpus with the BOUNDED
+    candidate set broadcast — never shuffle the embeddings table to
+    meet <= keep-rows-per-query candidates (the 100-TB shape: the
+    vector fetch is a broadcast-hash lookup)."""
+    import contextlib
+    import io
+
+    df, _ = emb
+    cb = pq.sampled_pq_codebooks(df, M, K)
+    res = pq.pq_adc_topk(df, [0, 5], k=3, codebooks=cb, rerank=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+    # and the corpus side of that join carries no shuffle exchange
+    lines = plan.splitlines()
+    bhj = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    probe_side = []
+    for line in lines[bhj + 1:]:
+        if "BroadcastExchange" in line:
+            break
+        probe_side.append(line)
+    assert not any("Exchange hashpartitioning" in l for l in probe_side), plan
+
+
 def test_save_load_rejects_wrong_kind(tmp_path):
     import json
 
